@@ -1,0 +1,110 @@
+"""MSDA kernel parity tests.
+
+Oracle: torch ``F.grid_sample(mode='bilinear', padding_mode='zeros',
+align_corners=False)`` composition — the reference's golden CPU path
+(`ms_deform_attn.py:90-130`). Torch here is a test oracle only; the framework
+itself is torch-free.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from ziragroundingdino_tpu.ops.msda import ms_deform_attn_xla, multi_scale_deformable_attention
+
+SHAPES = ((8, 8), (4, 4), (2, 2))  # (H, W) per level
+
+
+def _rand_inputs(rng, B=2, Q=16, H=4, D=8, P=3, shapes=SHAPES, loc_span=1.4):
+    L = len(shapes)
+    S = sum(h * w for h, w in shapes)
+    value = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    # sample locations beyond [0,1] to exercise zero-padding edges
+    locs = (rng.random((B, Q, H, L, P, 2)).astype(np.float32) - 0.2) * loc_span
+    attn = rng.random((B, Q, H, L, P)).astype(np.float32)
+    attn = attn / attn.sum(axis=(-2, -1), keepdims=True)
+    return value, locs, attn
+
+
+def _torch_oracle(value, shapes, locs, attn):
+    import torch
+    import torch.nn.functional as F
+
+    value = torch.from_numpy(value)
+    locs = torch.from_numpy(locs)
+    attn = torch.from_numpy(attn)
+    bs, _, num_heads, d = value.shape
+    _, q, _, L, p, _ = locs.shape
+    splits = [h * w for h, w in shapes]
+    value_list = value.split(splits, dim=1)
+    grids = 2 * locs - 1
+    sampled = []
+    for lvl, (h, w) in enumerate(shapes):
+        v = value_list[lvl].flatten(2).transpose(1, 2).reshape(bs * num_heads, d, h, w)
+        g = grids[:, :, :, lvl].transpose(1, 2).flatten(0, 1)  # bs*H, q, p, 2
+        sampled.append(
+            F.grid_sample(v, g, mode="bilinear", padding_mode="zeros", align_corners=False)
+        )
+    aw = attn.transpose(1, 2).reshape(bs * num_heads, 1, q, L * p)
+    out = (torch.stack(sampled, dim=-2).flatten(-2) * aw).sum(-1)
+    out = out.view(bs, num_heads * d, q)
+    return out.transpose(1, 2).contiguous().numpy()
+
+
+@pytest.mark.parametrize("loc_span", [1.0, 1.4])
+def test_msda_xla_matches_grid_sample(loc_span):
+    rng = np.random.default_rng(0)
+    value, locs, attn = _rand_inputs(rng, loc_span=loc_span)
+    ours = np.asarray(ms_deform_attn_xla(jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn)))
+    ref = _torch_oracle(value, SHAPES, locs, attn)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_msda_jit_and_grad():
+    rng = np.random.default_rng(1)
+    value, locs, attn = _rand_inputs(rng)
+
+    @jax.jit
+    def f(v, l, a):
+        return multi_scale_deformable_attention(v, SHAPES, l, a).sum()
+
+    g = jax.grad(f, argnums=(0, 1, 2))(jnp.asarray(value), jnp.asarray(locs), jnp.asarray(attn))
+    for gi in g:
+        assert np.all(np.isfinite(np.asarray(gi)))
+    # finite-difference check on the value gradient (linear in value -> exact)
+    eps = 1e-3
+    dv = rng.standard_normal(value.shape).astype(np.float32)
+    f0 = f(jnp.asarray(value - eps * dv), jnp.asarray(locs), jnp.asarray(attn))
+    f1 = f(jnp.asarray(value + eps * dv), jnp.asarray(locs), jnp.asarray(attn))
+    fd = (f1 - f0) / (2 * eps)
+    analytic = jnp.vdot(g[0], jnp.asarray(dv))
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=1e-3, atol=1e-2)
+
+
+def test_msda_grad_locations_fd():
+    """Sampling-location gradients match finite differences (interior points)."""
+    rng = np.random.default_rng(2)
+    value, locs, attn = _rand_inputs(rng, B=1, Q=4, H=2, D=4, P=2, loc_span=0.6)
+    locs = np.clip(locs, 0.15, 0.85)  # keep FD step away from texel boundaries
+
+    def f(l):
+        return ms_deform_attn_xla(jnp.asarray(value), SHAPES, l, jnp.asarray(attn)).sum()
+
+    g = jax.grad(f)(jnp.asarray(locs))
+    eps = 1e-4
+    dl = rng.standard_normal(locs.shape).astype(np.float32)
+    fd = (f(jnp.asarray(locs + eps * dl)) - f(jnp.asarray(locs - eps * dl))) / (2 * eps)
+    analytic = jnp.vdot(g, jnp.asarray(dl))
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=2e-2, atol=2e-2)
+
+
+def test_msda_bf16_runs():
+    rng = np.random.default_rng(3)
+    value, locs, attn = _rand_inputs(rng)
+    out = ms_deform_attn_xla(
+        jnp.asarray(value, jnp.bfloat16), SHAPES, jnp.asarray(locs), jnp.asarray(attn)
+    )
+    assert out.dtype == jnp.bfloat16
+    ref = _torch_oracle(value, SHAPES, locs, attn)
+    np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=0.05, atol=0.05)
