@@ -65,10 +65,11 @@ def test_masks_match_reference_loop():
     np.testing.assert_array_equal(got["position_ids"], ref_pos)
     assert got["num_categories"].tolist() == [3, 1]
     for b in range(2):
-        for c, m in enumerate(ref_c2t[b]):
+        # reference appends empty categories at padded rows' [SEP]; we drop them
+        ref_nonempty = [m for m in ref_c2t[b] if m.any()]
+        for c, m in enumerate(ref_nonempty):
             np.testing.assert_array_equal(got["cate_to_token_mask"][b, c], m)
-        # padding rows are empty
-        assert not got["cate_to_token_mask"][b, len(ref_c2t[b]) :].any()
+        assert not got["cate_to_token_mask"][b, len(ref_nonempty) :].any()
 
 
 def test_masks_padding_to_bucket():

@@ -75,7 +75,12 @@ def generate_special_token_masks(
             else:
                 attention_mask[row, previous_col + 1 : col + 1, previous_col + 1 : col + 1] = True
                 position_ids[row, previous_col + 1 : col + 1] = np.arange(0, col - previous_col)
-                if ci < max_categories:
+                # NOTE: the reference appends a category for every non-terminal
+                # special token, including the empty span a padded row's [SEP]
+                # produces (`bertwarper.py:255-261`); an empty category would
+                # break its own per-class max (`utils.py:312-320`), so we only
+                # keep non-empty spans — identical in every valid case.
+                if ci < max_categories and col > previous_col + 1:
                     c2t[row, ci, previous_col + 1 : col] = True
                     ci += 1
             previous_col = col
