@@ -176,14 +176,18 @@ class GroundingDINOConfig:
 
     sub: Dict[str, Any] = field(default_factory=dict)
 
+    # overrides for tests / small-scale runs; None = canonical presets
+    swin_config: Optional[SwinConfig] = None
+    bert_config: Optional[BertConfig] = None
+
     @property
     def swin(self) -> SwinConfig:
-        base = SWIN_VARIANTS[self.backbone]
+        base = self.swin_config or SWIN_VARIANTS[self.backbone]
         return dataclasses.replace(base, out_indices=self.return_interm_indices)
 
     @property
     def bert(self) -> BertConfig:
-        return BertConfig()
+        return self.bert_config or BertConfig()
 
     @property
     def head_dim(self) -> int:
