@@ -1,0 +1,149 @@
+"""Train step: gradients flow to the side branches only, frozen base stays
+put (the reference's before_train freeze semantics,
+`groundingdino_dual_zero_rep_branch.py:722-737`), and the whole step runs
+sharded over an 8-device data-parallel mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.common import tiny_config, tiny_image_batch, tiny_text_batch
+from ziragroundingdino_tpu.config import OptimizerConfig, ScheduleConfig
+from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
+from ziragroundingdino_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding,
+)
+from ziragroundingdino_tpu.train.optim import (
+    ZIRA_TRAINABLE_PATTERNS,
+    build_optimizer,
+    trainable_mask,
+)
+from ziragroundingdino_tpu.train.step import TrainState, compute_losses, make_train_step
+
+
+def make_batch(b=2):
+    pixels, mask = tiny_image_batch(b=b)
+    tb = tiny_text_batch()
+    rng = np.random.RandomState(7)
+    n = 5
+    boxes = (rng.uniform(0.3, 0.7, size=(b, n, 4)) * [1, 1, 0.2, 0.2]).astype(np.float32)
+    labels = rng.randint(0, 2, size=(b, n)).astype(np.int32)
+    valid = np.zeros((b, n), bool)
+    valid[0, :3] = True
+    valid[1, :1] = True
+    return {
+        "pixels": jnp.asarray(pixels),
+        "mask": jnp.asarray(mask),
+        "input_ids": jnp.asarray(tb.input_ids),
+        "text_token_mask": jnp.asarray(tb.text_token_mask),
+        "position_ids": jnp.asarray(tb.position_ids),
+        "text_self_attention_masks": jnp.asarray(tb.text_self_attention_masks),
+        "cate_to_token_mask": jnp.asarray(tb.cate_to_token_mask),
+        "gt_labels": jnp.asarray(labels),
+        "gt_boxes": jnp.asarray(boxes),
+        "gt_valid": jnp.asarray(valid),
+    }
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    model = GroundingDINO(cfg=cfg)
+    batch = make_batch()
+    params = model.init(
+        jax.random.PRNGKey(0), batch["pixels"], batch["mask"],
+        {k: batch[k] for k in (
+            "input_ids", "text_token_mask", "position_ids",
+            "text_self_attention_masks")},
+    )
+    return cfg, model, params, batch
+
+
+def test_losses_and_grads(setup):
+    cfg, model, params, batch = setup
+    total, losses = compute_losses(model, params, batch, train=True)
+    assert np.isfinite(float(total))
+    for k in ("loss_class", "loss_bbox", "loss_giou", "loss_class_enc",
+              "loss_linear_adapter", "loss_conv_adapter"):
+        assert k in losses, sorted(losses)
+        assert np.isfinite(float(losses[k])), k
+
+    grads = jax.grad(lambda p: compute_losses(model, p, batch, train=True)[0])(params)
+    gsq = jax.tree_util.tree_map(lambda g: float(jnp.sum(g * g)), grads)
+    flat = jax.tree_util.tree_leaves_with_path(gsq)
+    adapter_g = [v for p, v in flat if "adapter" in "/".join(str(x) for x in p)]
+    assert sum(adapter_g) > 0.0, "side branches must receive gradient"
+    assert all(np.isfinite(v) for _, v in flat)
+
+
+def test_train_step_updates_only_adapters(setup):
+    cfg, model, params, batch = setup
+    mask = trainable_mask(params["params"], ZIRA_TRAINABLE_PATTERNS, freeze_all=True)
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-2), ScheduleConfig(max_iter=10),
+        params["params"], trainable=mask,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params["params"],
+        opt_state=tx.init(params["params"]),
+    )
+
+    class Wrap:
+        cfg = model.cfg
+
+        @staticmethod
+        def apply(p, *a, **k):
+            return model.apply({"params": p}, *a, **k)
+
+    step = make_train_step(Wrap, tx, donate=False)
+    s1, m1 = step(state, batch, jax.random.PRNGKey(1))
+    s2, m2 = step(s1, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["total_loss"]))
+
+    def diff(a, b):
+        return jax.tree_util.tree_map(lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)
+
+    d = diff(state.params, s2.params)
+    for path, v in jax.tree_util.tree_leaves_with_path(d):
+        p = "/".join(str(getattr(x, "key", x)) for x in path)
+        if "adapter" in p:
+            continue  # trainable; may move
+        assert v == 0.0, f"frozen param moved: {p} by {v}"
+    moved = [
+        v for path, v in jax.tree_util.tree_leaves_with_path(d)
+        if "adapter" in "/".join(str(getattr(x, "key", x)) for x in path)
+    ]
+    assert max(moved) > 0.0
+
+
+def test_train_step_on_8dev_mesh(setup):
+    """DP over the virtual 8-device CPU mesh (SURVEY §2.5): batch sharded on
+    'data', params replicated; XLA inserts the gradient all-reduce."""
+    cfg, model, params, batch = setup
+    mesh = make_mesh(data=8, model=1)
+    batch8 = jax.tree_util.tree_map(
+        lambda x: jnp.concatenate([x] * 4, axis=0), make_batch(b=2)
+    )
+    ps = param_sharding(params["params"], mesh)
+    bs = batch_sharding(batch8, mesh)
+    params_sh = jax.device_put(params["params"], ps)
+    batch_sh = jax.device_put(batch8, bs)
+
+    class Wrap:
+        cfg = model.cfg
+
+        @staticmethod
+        def apply(p, *a, **k):
+            return model.apply({"params": p}, *a, **k)
+
+    def loss(p, b):
+        return compute_losses(Wrap, p, b, train=True)[0]
+
+    total, grads = jax.jit(jax.value_and_grad(loss))(params_sh, batch_sh)
+    assert np.isfinite(float(total))
+    gn = float(jax.jit(lambda g: sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)))(grads))
+    assert np.isfinite(gn) and gn > 0.0
