@@ -1,0 +1,109 @@
+"""Throughput benchmark: flagship GDINO-T inference, images/sec/chip.
+
+Runs on whatever accelerator jax exposes (one TPU chip under the driver).
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md); `vs_baseline` is computed
+against the commonly-measured A100 PyTorch eager GroundingDINO-T inference
+rate of ~8 img/s at the 800px eval resolution (the reference's eval loop logs
+s/img, `evaluation/evaluator.py:126-151`). Override with A100_BASELINE_IPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+A100_BASELINE_IPS = float(os.environ.get("A100_BASELINE_IPS", "8.0"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _text_arrays
+    from ziragroundingdino_tpu.models import build_model
+
+    dev = jax.devices()[0]
+    log("device:", dev, dev.platform)
+
+    model = build_model("dualzerorepbranchgroundingdino")
+    h, w, t = 800, 1216, 64
+
+    text_np, _ = _text_arrays(np, 1, t, vocab=30000)
+
+    def make_batch(b):
+        rng = np.random.RandomState(0)
+        pixels = jnp.asarray(rng.randn(b, h, w, 3), jnp.float32)
+        mask = jnp.ones((b, h, w), bool)
+        text = {
+            k: jnp.asarray(np.repeat(v, b, axis=0)) for k, v in text_np.items()
+        }
+        return pixels, mask, text
+
+    pixels1, mask1, text1 = make_batch(1)
+    log("init params...")
+    t0 = time.time()
+    params = jax.jit(lambda k: model.init(k, pixels1, mask1, text1))(
+        jax.random.PRNGKey(0)
+    )
+    jax.block_until_ready(params)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    log(f"params: {n_params/1e6:.1f}M in {time.time()-t0:.1f}s")
+
+    @jax.jit
+    def fwd(params, pixels, mask, text, jitter):
+        # jitter makes every benchmark call a distinct computation so no
+        # layer (XLA or the remote-execution relay) can cache/coalesce
+        # repeated identical calls; cost is one fused add.
+        out = model.apply(params, pixels + jitter * 1e-6, mask, text)
+        # reduce outputs to a scalar so the final fetch is tiny but still
+        # forces the full computation
+        return jnp.sum(out["pred_boxes"]) + jnp.sum(out["pred_logits"][..., :4])
+
+    best = None
+    for b in (8, 4, 2, 1):
+        try:
+            pixels, mask, text = make_batch(b)
+            t0 = time.time()
+            float(fwd(params, pixels, mask, text, jnp.float32(0)))
+            log(f"b={b}: compile+first {time.time()-t0:.1f}s")
+            # warmup + single-call latency (fully synced)
+            t0 = time.time()
+            float(fwd(params, pixels, mask, text, jnp.float32(1)))
+            lat = time.time() - t0
+            log(f"b={b}: single-call latency {lat*1000:.1f} ms")
+            iters = 10
+            t0 = time.time()
+            acc = []
+            for i in range(iters):
+                acc.append(fwd(params, pixels, mask, text, jnp.float32(2 + i)))
+            total = float(jnp.stack(acc).sum())  # device fetch: full sync
+            dt = (time.time() - t0) / iters
+            ips = b / dt
+            log(f"b={b}: {dt*1000:.1f} ms/batch -> {ips:.2f} img/s (check={total:.3e})")
+            if best is None or ips > best[1]:
+                best = (b, ips)
+        except Exception as e:  # OOM at large batch: fall through
+            log(f"b={b} failed: {type(e).__name__}: {str(e)[:200]}")
+    assert best is not None, "all batch sizes failed"
+    b, ips = best
+    print(json.dumps({
+        "metric": "gdino_t_inference_throughput_800x1216",
+        "value": round(ips, 3),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

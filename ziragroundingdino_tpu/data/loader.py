@@ -1,0 +1,181 @@
+"""Batch assembly: samples -> fixed-shape device batch dicts.
+
+Replaces the reference's DataLoader-worker + mapper + ImageList chain
+(`detr_dataset_mapper.py:85-137`, `groundingdino_dt.py:preprocess_image` +
+`prepare_targets`): host threads decode/augment; the batcher pads images to
+a shared static bucket, normalizes boxes to the padded size the same way the
+reference normalizes to the (unpadded) image size and pads via ImageList —
+we keep the per-image true size to normalize boxes, matching
+`prepare_targets` (`groundingdino_dual_zero_rep_branch.py:614-627`).
+
+NOTE on box normalization parity: the reference divides gt xyxy by the
+*pre-padding* image size; predictions are likewise rescaled at eval by the
+pre-padding size (`dt_inference`, `groundingdino_dt.py:701-742`). We do the
+same: boxes normalized by the true (resized) image size, NOT the bucket.
+The model's coordinate frame, however, spans the padded canvas (boxes are
+predicted relative to padded H/W through the position embeddings' normalize
+step)... The reference has the identical mismatch (ImageList pads, sine
+embedding normalizes by cumsum over the valid mask), so parity holds.
+"""
+
+from __future__ import annotations
+
+import threading
+import queue as _queue
+from dataclasses import dataclass
+from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ziragroundingdino_tpu.config import DataConfig
+from ziragroundingdino_tpu.data.transforms import (
+    Sample,
+    eval_transform,
+    normalize,
+    pad_to_bucket,
+    pick_bucket,
+    train_transform,
+)
+from ziragroundingdino_tpu.text.tokenizer import TextBatch, WordPieceTokenizer, tokenize_captions
+
+
+def boxes_to_normalized_cxcywh(boxes_xyxy: np.ndarray, h: int, w: int) -> np.ndarray:
+    """xyxy absolute -> cxcywh normalized by (w, h)
+    (`prepare_targets` + box_xyxy_to_cxcywh)."""
+    if boxes_xyxy.size == 0:
+        return boxes_xyxy.reshape(0, 4)
+    b = boxes_xyxy.astype(np.float32) / np.array([w, h, w, h], np.float32)
+    cx = (b[:, 0] + b[:, 2]) / 2
+    cy = (b[:, 1] + b[:, 3]) / 2
+    bw = b[:, 2] - b[:, 0]
+    bh = b[:, 3] - b[:, 1]
+    return np.stack([cx, cy, bw, bh], -1)
+
+
+def collate(
+    samples: Sequence[Sample],
+    captions: Sequence[str],
+    tokenizer: WordPieceTokenizer,
+    cfg: DataConfig,
+    max_text_len: int = 256,
+    max_categories: int = 90,
+    train: bool = True,
+) -> Dict[str, np.ndarray]:
+    """Build the fixed-shape batch dict consumed by train/eval steps."""
+    # shared bucket: the largest per-image bucket in the batch
+    buckets = [pick_bucket(s.image.shape[0], s.image.shape[1], cfg.shape_buckets) for s in samples]
+    bh = max(b[0] for b in buckets)
+    bw = max(b[1] for b in buckets)
+
+    b = len(samples)
+    pixels = np.zeros((b, bh, bw, 3), np.float32)
+    mask = np.zeros((b, bh, bw), bool)
+    n_max = cfg.max_boxes
+    gt_boxes = np.zeros((b, n_max, 4), np.float32)
+    gt_labels = np.zeros((b, n_max), np.int32)
+    gt_valid = np.zeros((b, n_max), bool)
+    sizes = np.zeros((b, 2), np.int32)  # true (h, w) after resize
+    orig_sizes = np.zeros((b, 2), np.int32)
+    image_ids = np.zeros((b,), np.int64)
+
+    for i, s in enumerate(samples):
+        img, m = pad_to_bucket(normalize(s.image, cfg), (bh, bw))
+        pixels[i], mask[i] = img, m
+        h, w = s.image.shape[:2]
+        sizes[i] = (h, w)
+        orig_sizes[i] = s.orig_size
+        image_ids[i] = s.image_id
+        n = min(len(s.boxes), n_max)
+        if n:
+            gt_boxes[i, :n] = boxes_to_normalized_cxcywh(s.boxes[:n], h, w)
+            gt_labels[i, :n] = s.labels[:n]
+            gt_valid[i, :n] = True
+
+    tb = tokenize_captions(
+        tokenizer, list(captions), max_text_len=max_text_len,
+        max_categories=max_categories,
+    )
+    return {
+        "pixels": pixels,
+        "mask": mask,
+        "input_ids": tb.input_ids,
+        "text_token_mask": tb.text_token_mask,
+        "position_ids": tb.position_ids,
+        "text_self_attention_masks": tb.text_self_attention_masks,
+        "cate_to_token_mask": tb.cate_to_token_mask,
+        "gt_labels": gt_labels,
+        "gt_boxes": gt_boxes,
+        "gt_valid": gt_valid,
+        "sizes": sizes,
+        "orig_sizes": orig_sizes,
+        "image_ids": image_ids,
+    }
+
+
+class DataLoader:
+    """Infinite (train) or single-pass (eval) loader with a prefetch thread
+    pool — the num_workers DataLoader equivalent (`aquarium.py:61-66`)."""
+
+    def __init__(
+        self,
+        dataset,  # CocoDataset
+        tokenizer: WordPieceTokenizer,
+        cfg: DataConfig,
+        batch_size: int = 2,
+        train: bool = True,
+        seed: int = 42,
+        max_text_len: int = 256,
+        max_categories: int = 90,
+        num_workers: Optional[int] = None,
+        caption: Optional[str] = None,
+    ):
+        self.ds = dataset
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.batch_size = batch_size
+        self.train = train
+        self.rng = np.random.RandomState(seed)
+        self.max_text_len = max_text_len
+        self.max_categories = max_categories
+        self.num_workers = cfg.num_workers if num_workers is None else num_workers
+        self.caption = caption if caption is not None else dataset.caption
+
+    def _make_sample(self, idx: int) -> Sample:
+        s = self.ds.load_sample(idx)
+        if self.train:
+            return train_transform(s, self.cfg, self.rng)
+        return eval_transform(s, self.cfg)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if self.train:
+            return self._train_iter()
+        return self._eval_iter()
+
+    def _train_iter(self):
+        n = len(self.ds)
+        while True:
+            order = self.rng.permutation(n)
+            for start in range(0, n - self.batch_size + 1, self.batch_size):
+                idxs = order[start : start + self.batch_size]
+                samples = [self._make_sample(int(i)) for i in idxs]
+                yield collate(
+                    samples, [self.caption] * len(samples), self.tokenizer,
+                    self.cfg, self.max_text_len, self.max_categories, train=True,
+                )
+
+    def _eval_iter(self):
+        n = len(self.ds)
+        for start in range(0, n, self.batch_size):
+            idxs = range(start, min(start + self.batch_size, n))
+            samples = [self._make_sample(int(i)) for i in idxs]
+            # pad the final short batch by repeating the last sample; the
+            # evaluator drops duplicates by image_id count
+            real = len(samples)
+            while len(samples) < self.batch_size:
+                samples.append(samples[-1])
+            batch = collate(
+                samples, [self.caption] * len(samples), self.tokenizer,
+                self.cfg, self.max_text_len, self.max_categories, train=False,
+            )
+            batch["real_count"] = np.asarray(real, np.int32)
+            yield batch
