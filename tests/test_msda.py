@@ -108,3 +108,23 @@ def test_msda_bf16_runs():
     assert out.dtype == jnp.bfloat16
     ref = _torch_oracle(value, SHAPES, locs, attn)
     np.testing.assert_allclose(np.asarray(out, np.float32), ref, rtol=0.05, atol=0.05)
+
+
+def test_quad_matches_naive():
+    """Quad-packed fast path == naive gather path, including out-of-range
+    sampling locations (zero padding semantics)."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_xla_quad
+
+    rng = np.random.RandomState(3)
+    shapes = ((6, 8), (3, 4), (2, 2))
+    s = sum(h * w for h, w in shapes)
+    b, h, d, q, p = 2, 4, 8, 11, 3
+    value = jnp.asarray(rng.randn(b, s, h, d), jnp.float32)
+    # locations straddling [0,1] to exercise border/validity logic
+    loc = jnp.asarray(rng.uniform(-0.3, 1.3, size=(b, q, h, len(shapes), p, 2)), jnp.float32)
+    w = jax.nn.softmax(
+        jnp.asarray(rng.randn(b, q, h, len(shapes) * p), jnp.float32), axis=-1
+    ).reshape(b, q, h, len(shapes), p)
+    ref = ms_deform_attn_xla(value, shapes, loc, w)
+    got = ms_deform_attn_xla_quad(value, shapes, loc, w, q_chunk=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)

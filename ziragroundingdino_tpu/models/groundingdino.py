@@ -66,6 +66,55 @@ class InputProj(nn.Module):
         return y.astype(self.dtype or x.dtype)
 
 
+class TextEncoderOnly(nn.Module):
+    """Text path only (BERT -> feat_map -> language adapter), with submodule
+    names identical to `GroundingDINO`'s so the SAME param tree applies —
+    used by prompt-memory construction (`groundingdino_dt.py:379-437`) and
+    text-side replay (`:786-838`) without running the image tower."""
+
+    cfg: GroundingDINOConfig
+
+    @nn.compact
+    def __call__(self, text: Dict[str, jnp.ndarray], train: bool = False):
+        cfg = self.cfg
+        cd = jnp.dtype(cfg.compute_dtype)
+        is_zira = cfg.modelname == "dualzerorepbranchgroundingdino"
+        bert_out = BertEncoder(cfg.bert, dtype=cd, name="bert")(
+            text["input_ids"],
+            text["text_self_attention_masks"] if cfg.sub_sentence_present
+            else text["text_token_mask"],
+            position_ids=text["position_ids"] if cfg.sub_sentence_present else None,
+            deterministic=True,
+        )
+        encoded_text = Dense(
+            cfg.hidden_dim, dtype=cd,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros, name="feat_map",
+        )(bert_out)
+        adapter_loss = jnp.zeros((), jnp.float32)
+        if cfg.use_cet:
+            if is_zira:
+                rep_out, adapter_loss = RepZeroLinear(
+                    features=cfg.hidden_dim, scale_init=cfg.zira_lan_scale,
+                    zero_value=cfg.zira_zero_init, dtype=cd, name="rep_linear_adapter",
+                )(bert_out, train=train)
+                encoded_text = encoded_text + rep_out
+            else:
+                cet_cls = {
+                    "Adapter": Adapter, "Linear": LinearAdapter,
+                    "Transformer": TransformerAdapter,
+                }[cfg.cet_type]
+                kw = dict(embed_dim=cfg.bert.hidden_size, output_dim=cfg.hidden_dim,
+                          use_self_kd=False, dtype=cd, name="cet_adapter")
+                if cfg.cet_type != "Linear":
+                    kw["down_dim"] = cfg.cet_middle_dim
+                if cfg.cet_type != "Transformer":
+                    kw["gate_base_scale"] = 1.0
+                cet_out, adapter_loss = cet_cls(**kw)(bert_out, True)
+                encoded_text = encoded_text + cet_out
+        return encoded_text, adapter_loss
+
+
 class GroundingDINO(nn.Module):
     cfg: GroundingDINOConfig
 

@@ -1,0 +1,216 @@
+"""Incremental (IVLOD) driver: sequential tasks + ZiRa lifecycle.
+
+Capability parity with `train_multidatasets.py`:
+  * task loop with optional shuffle, chaining params task->task
+    (`:473-494`);
+  * `before_train` = trainable-leaf masking (freeze all, unfreeze adapters,
+    `groundingdino_dual_zero_rep_branch.py:722-737`);
+  * `after_train` = `__rep__` merge of every RepZero module (`:739-745`)
+    + `add_cls_prompt` for the task's classes (`train_multidatasets.py:
+    221-228` -> `groundingdino_dt.py:379-437`);
+  * prompt-memory pool: per-class text-token embeddings captured after each
+    task; `replay_memory` text-side distillation (`groundingdino_dt.py:
+    786-838`) driven by `MemoryReplayer` (`train_multidatasets.py:257-312`);
+  * learned-name caption augmentation (`groundingdino_dt.py:452-460`);
+  * final eval over all tasks + COCO zero-shot retention, avg-AP report
+    (`train_multidatasets.py:509-561`).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ziragroundingdino_tpu.config import (
+    DataConfig,
+    GroundingDINOConfig,
+    OptimizerConfig,
+    ScheduleConfig,
+    TrainConfig,
+)
+from ziragroundingdino_tpu.models.groundingdino import GroundingDINO, TextEncoderOnly
+from ziragroundingdino_tpu.models.zira import rep_merge
+from ziragroundingdino_tpu.text.tokenizer import WordPieceTokenizer, tokenize_captions
+
+logger = logging.getLogger("ziragroundingdino_tpu")
+
+
+# ---------------------------------------------------------------------------
+# prompt memory
+# ---------------------------------------------------------------------------
+
+
+def encode_class_tokens(
+    cfg: GroundingDINOConfig,
+    params,
+    tokenizer: WordPieceTokenizer,
+    class_names: Sequence[str],
+    max_text_len: int = 256,
+):
+    """Runs the text path on '.'.join(classes), returns (encoded_text [T,E],
+    cate_to_token_mask [C, T]) for batch row 0."""
+    caption = ".".join(class_names) + "."
+    tb = tokenize_captions(
+        tokenizer, [caption], max_text_len=max_text_len,
+        max_categories=max(len(class_names), 1),
+    )
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    enc = TextEncoderOnly(cfg)
+    encoded, _ = enc.apply({"params": params}, text, train=False)
+    return np.asarray(encoded[0], np.float32), tb.cate_to_token_mask[0], tb
+
+
+def add_cls_prompt(
+    prompt_memory: Dict[str, np.ndarray],
+    cfg: GroundingDINOConfig,
+    params,
+    tokenizer: WordPieceTokenizer,
+    class_names: Sequence[str],
+    max_text_len: int = 256,
+) -> Dict[str, np.ndarray]:
+    """Captures per-class token embeddings into the pool (keys "-name-",
+    only for unseen classes — `groundingdino_dt.py:424-432`)."""
+    encoded, c2t, _ = encode_class_tokens(cfg, params, tokenizer, class_names, max_text_len)
+    for i, name in enumerate(class_names):
+        key = f"-{name}-"
+        if key not in prompt_memory:
+            prompt_memory[key] = encoded[c2t[i]]
+    return prompt_memory
+
+
+def replay_memory_loss(
+    cfg: GroundingDINOConfig,
+    params,
+    tokenizer: WordPieceTokenizer,
+    learned_classes: Sequence[str],
+    prompt_memory: Dict[str, np.ndarray],
+    max_text_len: int = 256,
+) -> Dict[str, jnp.ndarray]:
+    """Data-free text replay: L1-distill the current text features of learned
+    class names toward their stored embeddings (`groundingdino_dt.py:786-838`).
+    Differentiable w.r.t. params (side branches)."""
+    caption = ".".join(learned_classes) + "."
+    tb = tokenize_captions(
+        tokenizer, [caption], max_text_len=max_text_len,
+        max_categories=max(len(learned_classes), 1),
+    )
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+
+    # host-side: stored embedding per replaced token position + mask
+    t, e = tb.input_ids.shape[1], cfg.hidden_dim
+    target_vals = np.zeros((t, e), np.float32)
+    replace = np.zeros((t,), bool)
+    c2t = tb.cate_to_token_mask[0]
+    for i, name in enumerate(learned_classes):
+        key = f"-{name}-"
+        if key in prompt_memory:
+            pos = np.flatnonzero(c2t[i])
+            stored = prompt_memory[key]
+            n = min(len(pos), len(stored))
+            target_vals[pos[:n]] = stored[:n]
+            replace[pos[:n]] = True
+    target_vals = jnp.asarray(target_vals)
+    replace = jnp.asarray(replace)
+
+    enc = TextEncoderOnly(cfg)
+    encoded, adapter_loss = enc.apply({"params": params}, text, train=True)
+    encoded = encoded[0].astype(jnp.float32)  # [T, E]
+
+    # the reference's target is encoded.clone() with replaced positions
+    # (`:818-833`): non-replaced positions contribute 0 loss and 0 grad
+    diff = jnp.where(replace[:, None], encoded - target_vals, 0.0)
+    losses = {"loss_prompt_memory": jnp.mean(jnp.abs(diff)) * 0.5}
+    if cfg.use_zero_inter_loss:
+        losses["loss_adapter_text"] = adapter_loss * cfg.loss_adapter_weight
+    return losses
+
+
+def augment_caption_with_learned_names(
+    category_names: Sequence[str],
+    learned_classes: Sequence[str],
+    num_select: int = 20,
+    rng: Optional[np.random.RandomState] = None,
+) -> List[str]:
+    """use_add_names/use_learned_names (`groundingdino_dt.py:452-460`):
+    append up to `num_select` previously-learned class names not in the
+    current task to the caption's category list."""
+    extra = [c for c in learned_classes if c not in category_names]
+    if rng is not None and len(extra) > num_select:
+        extra = list(rng.choice(extra, num_select, replace=False))
+    else:
+        extra = extra[:num_select]
+    return list(category_names) + extra
+
+
+# ---------------------------------------------------------------------------
+# the incremental loop
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TaskSpec:
+    name: str
+    train_loader_fn: Callable  # (caption_names) -> iterable of batches
+    eval_fn: Callable  # (params) -> metrics dict with "AP"
+    class_names: List[str] = field(default_factory=list)
+    max_iter: int = 2000
+
+
+@dataclass
+class IncrementalState:
+    params: Dict
+    prompt_memory: Dict[str, np.ndarray] = field(default_factory=dict)
+    learned_classes: List[str] = field(default_factory=list)
+    per_task_results: List[Dict] = field(default_factory=list)
+
+
+def run_task(
+    state: IncrementalState,
+    task: TaskSpec,
+    model: GroundingDINO,
+    make_trainer: Callable,  # (params, task) -> (trainer, extract_params_fn)
+    tokenizer: WordPieceTokenizer,
+) -> IncrementalState:
+    """One incremental step: train on the task with frozen base, then merge
+    side branches and capture prompts."""
+    trainer, extract = make_trainer(state.params, task)
+    trainer.train(0, task.max_iter)
+    params = extract(trainer.state)
+
+    # after_train hooks (`train_multidatasets.py:221-246`)
+    params = rep_merge(params)
+    state.prompt_memory = add_cls_prompt(
+        state.prompt_memory, model.cfg, params, tokenizer, task.class_names,
+        max_text_len=model.cfg.max_text_len,
+    )
+    for c in task.class_names:
+        if c not in state.learned_classes:
+            state.learned_classes.append(c)
+    state.params = params
+    return state
+
+
+def final_report(
+    state: IncrementalState,
+    tasks: Sequence[TaskSpec],
+    coco_eval_fn: Optional[Callable] = None,
+) -> Dict[str, float]:
+    """`train_multidatasets.py:509-561`: eval every task + COCO retention,
+    log avg AP."""
+    aps = []
+    report: Dict[str, float] = {}
+    for task in tasks:
+        res = task.eval_fn(state.params)
+        report[f"AP/{task.name}"] = res["AP"]
+        aps.append(res["AP"])
+        state.per_task_results.append({task.name: res})
+    report["avg_AP"] = float(np.mean(aps)) if aps else float("nan")
+    if coco_eval_fn is not None:
+        report["coco_zero_shot_AP"] = coco_eval_fn(state.params)["AP"]
+    logger.info("incremental final: %s", report)
+    return report
