@@ -84,7 +84,7 @@ def test_full_coverage_roundtrip(params):
     missing = sorted(set(flat) - covered)
     assert not missing, f"params not covered by converter rules: {missing[:20]}"
 
-    tree, prompt_memory, unmatched = tc.convert_state_dict(torch_sd)
+    tree, batch_stats, prompt_memory, unmatched = tc.convert_state_dict(torch_sd)
     assert unmatched == []
     problems = tc.merge_into(params, tree)
     assert problems == [], problems[:10]
@@ -120,7 +120,7 @@ def test_drop_and_prompt_keys(params):
         "prompt_memory_pool.-cat-": np.ones((2, 3), np.float32),
         "totally.unknown.key": np.zeros(3),
     }
-    tree, pm, unmatched = tc.convert_state_dict(sd)
+    tree, bs, pm, unmatched = tc.convert_state_dict(sd)
     assert tree == {}
     assert list(pm) == ["-cat-"] and pm["-cat-"].shape == (2, 3)
     assert unmatched == ["totally.unknown.key"]

@@ -1,0 +1,107 @@
+"""The other reparameterizable variants: multilayer (RepZeroConvGN +
+rep_language_adapter), repconv (vision-only dual branch), repconvbn
+(conv+BN branch with BN folding at merge)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.common import tiny_config, tiny_image_batch, tiny_text_batch
+from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
+from ziragroundingdino_tpu.models.zira import (
+    ZeroConvBN,
+    rep_merge,
+    rep_merge_convbn,
+)
+
+
+def build(modelname, **kw):
+    cfg = tiny_config(modelname=modelname, **kw)
+    model = GroundingDINO(cfg=cfg)
+    pixels, mask = tiny_image_batch(b=1)
+    tb = tiny_text_batch(captions=("cat.dog.",))
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
+    )
+    return cfg, model, variables, (jnp.asarray(pixels), jnp.asarray(mask), text)
+
+
+@pytest.mark.parametrize("modelname", [
+    "dualzerorepmultilayerbranchgroundingdino",
+    "repgroundingdino",
+    "repconvbngroundingdino",
+])
+def test_variant_forward_and_merge(modelname):
+    kw = {}
+    if modelname in ("repgroundingdino", "repconvbngroundingdino"):
+        kw = dict(use_cet=False, use_zero_inter_loss=False)
+    cfg, model, variables, (pixels, mask, text) = build(modelname, **kw)
+
+    p = variables["params"]
+    if modelname == "dualzerorepmultilayerbranchgroundingdino":
+        assert "rep_language_adapter" in p
+        assert "freeze_gn_scale" in p["input_proj_conv_adapter_0"]
+    if modelname == "repconvbngroundingdino":
+        assert "bn_scale" in p["input_proj_conv_adapter_0"]
+        assert "batch_stats" in variables
+
+    out_eval = model.apply(variables, pixels, mask, text, train=False)
+    assert np.isfinite(np.asarray(out_eval["pred_boxes"])).all()
+
+    if modelname == "repconvbngroundingdino":
+        out_train, mut = model.apply(
+            variables, pixels, mask, text, train=True, mutable=["batch_stats"]
+        )
+        assert "batch_stats" in mut
+    else:
+        out_train = model.apply(variables, pixels, mask, text, train=True)
+    assert np.isfinite(np.asarray(out_train["pred_boxes"])).all()
+    assert np.isfinite(float(out_train["adapter_losses"]["loss_conv_adapter"]))
+
+    merged = rep_merge(p)
+    out_m = model.apply({"params": merged, **{k: v for k, v in variables.items() if k != "params"}},
+                        pixels, mask, text, train=False)
+    assert np.isfinite(np.asarray(out_m["pred_boxes"])).all()
+
+
+def test_convbn_merge_algebra():
+    """eval(merged) == train-mode branch+freeze output with the BN folded
+    (using the running stats as the fold source and matching batch stats)."""
+    mod = ZeroConvBN(features=8, kernel_size=1)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 4, 4, 8), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    # randomize branch + bn so the fold is non-trivial
+    rng = np.random.RandomState(1)
+    p = dict(p)
+    p["branch_kernel"] = rng.randn(1, 1, 8, 8).astype(np.float32) * 0.1
+    p["branch_bias"] = rng.randn(8).astype(np.float32) * 0.1
+    p["bn_scale"] = rng.rand(8).astype(np.float32) + 0.5
+    p["bn_bias"] = rng.randn(8).astype(np.float32) * 0.1
+    stats = {
+        "bn_mean": rng.randn(8).astype(np.float32) * 0.1,
+        "bn_var": rng.rand(8).astype(np.float32) + 0.5,
+    }
+
+    merged_p, merged_s = rep_merge_convbn(p, stats)
+    out_merged, _ = mod.apply(
+        {"params": merged_p, "batch_stats": merged_s}, x, train=False
+    )
+
+    # manual: freeze(x) + BN_runningstats(branch(x))
+    def conv(k, b):
+        return jax.lax.conv_general_dilated(
+            x, jnp.asarray(k), (1, 1), [(0, 0), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + jnp.asarray(b)
+
+    y = conv(p["branch_kernel"], p["branch_bias"])
+    y = (y - stats["bn_mean"]) / np.sqrt(stats["bn_var"] + 1e-5) * p["bn_scale"] + p["bn_bias"]
+    expect = y + conv(p["freeze_kernel"], p["freeze_bias"])
+    np.testing.assert_allclose(np.asarray(out_merged), np.asarray(expect), atol=1e-5)
+
+    # branch re-zeroed
+    assert np.allclose(np.asarray(merged_p["branch_kernel"]), 1e-8)

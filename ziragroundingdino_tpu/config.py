@@ -222,6 +222,17 @@ MODEL_PRESETS: Dict[str, GroundingDINOConfig] = {
     ),
     # ZiRa headline model (`GroundingDINO_SwinT_OGC_rep.py`)
     "dualzerorepbranchgroundingdino": _preset(),
+    # multilayer-branch variant (`groundingdino_dual_zero_rep_multilayer_branch.py:971`)
+    "dualzerorepmultilayerbranchgroundingdino": _preset(
+        modelname="dualzerorepmultilayerbranchgroundingdino",
+    ),
+    # single-path rep variants (`groundingdino_repconv.py:1041`, `groundingdino_repconvbn.py:1069`)
+    "repgroundingdino": _preset(
+        modelname="repgroundingdino", use_cet=False, use_zero_inter_loss=False,
+    ),
+    "repconvbngroundingdino": _preset(
+        modelname="repconvbngroundingdino", use_cet=False, use_zero_inter_loss=False,
+    ),
     # full fine-tune (`GroundingDINO_SwinT_OGC_dt_finetuning.py`: freeze_all=False)
     "finetune": _preset(modelname="dtgroundingdino", freeze_all=False, use_cet=False,
                         use_zero_inter_loss=False, use_project_adapter=False,

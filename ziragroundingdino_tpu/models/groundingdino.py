@@ -35,7 +35,46 @@ from ziragroundingdino_tpu.models.layers import MLP, Dense, inverse_sigmoid
 from ziragroundingdino_tpu.models.position_encoding import position_embedding_sine_hw
 from ziragroundingdino_tpu.models.swin import SwinTransformer, interpolate_mask_nearest
 from ziragroundingdino_tpu.models.transformer import Transformer
-from ziragroundingdino_tpu.models.zira import RepZeroConv, RepZeroLinear
+from ziragroundingdino_tpu.models.zira import (
+    RepZeroConv,
+    RepZeroConvGN,
+    RepZeroLinear,
+    ZeroConvBN,
+)
+
+# the reparameterizable family (SURVEY §2.2: dual/multilayer/repconv/repconvbn)
+ZIRA_MODELNAMES = (
+    "dualzerorepbranchgroundingdino",
+    "dualzerorepmultilayerbranchgroundingdino",
+    "repgroundingdino",
+    "repconvbngroundingdino",
+)
+
+
+def _language_adapter(cfg, cd):
+    """ZiRa language-side module by variant; None when the variant has no
+    language branch (single-branch repconv models)."""
+    if cfg.modelname == "dualzerorepbranchgroundingdino":
+        return RepZeroLinear(
+            features=cfg.hidden_dim, scale_init=cfg.zira_lan_scale,
+            zero_value=cfg.zira_zero_init, dtype=cd, name="rep_linear_adapter",
+        )
+    if cfg.modelname == "dualzerorepmultilayerbranchgroundingdino":
+        # `multilayer_branch.py:322-324`: scaling init 1.0, L1 ZIL
+        return RepZeroLinear(
+            features=cfg.hidden_dim, scale_init=1.0, zil="l1",
+            zero_value=cfg.zira_zero_init, dtype=cd, name="rep_language_adapter",
+        )
+    return None
+
+
+def _vision_adapter_cls(cfg):
+    return {
+        "dualzerorepbranchgroundingdino": RepZeroConv,
+        "repgroundingdino": RepZeroConv,
+        "dualzerorepmultilayerbranchgroundingdino": RepZeroConvGN,
+        "repconvbngroundingdino": ZeroConvBN,
+    }[cfg.modelname]
 
 
 class InputProj(nn.Module):
@@ -78,7 +117,7 @@ class TextEncoderOnly(nn.Module):
     def __call__(self, text: Dict[str, jnp.ndarray], train: bool = False):
         cfg = self.cfg
         cd = jnp.dtype(cfg.compute_dtype)
-        is_zira = cfg.modelname == "dualzerorepbranchgroundingdino"
+        is_zira = cfg.modelname in ZIRA_MODELNAMES
         bert_out = BertEncoder(cfg.bert, dtype=cd, name="bert")(
             text["input_ids"],
             text["text_self_attention_masks"] if cfg.sub_sentence_present
@@ -93,13 +132,11 @@ class TextEncoderOnly(nn.Module):
         )(bert_out)
         adapter_loss = jnp.zeros((), jnp.float32)
         if cfg.use_cet:
-            if is_zira:
-                rep_out, adapter_loss = RepZeroLinear(
-                    features=cfg.hidden_dim, scale_init=cfg.zira_lan_scale,
-                    zero_value=cfg.zira_zero_init, dtype=cd, name="rep_linear_adapter",
-                )(bert_out, train=train)
+            lang_adapter = _language_adapter(cfg, cd) if is_zira else None
+            if lang_adapter is not None:
+                rep_out, adapter_loss = lang_adapter(bert_out, train=train)
                 encoded_text = encoded_text + rep_out
-            else:
+            elif not is_zira:
                 cet_cls = {
                     "Adapter": Adapter, "Linear": LinearAdapter,
                     "Transformer": TransformerAdapter,
@@ -134,7 +171,7 @@ class GroundingDINO(nn.Module):
     ) -> Dict[str, Any]:
         cfg = self.cfg
         cd = self.compute_dtype
-        is_zira = cfg.modelname == "dualzerorepbranchgroundingdino"
+        is_zira = cfg.modelname in ZIRA_MODELNAMES
 
         # ------------------------------------------------ text path
         bert_out = BertEncoder(cfg.bert, dtype=cd, name="bert")(
@@ -153,13 +190,11 @@ class GroundingDINO(nn.Module):
 
         loss_linear_adapter = jnp.zeros((), jnp.float32)
         if cfg.use_cet:
-            if is_zira:
-                rep_out, loss_linear_adapter = RepZeroLinear(
-                    features=cfg.hidden_dim, scale_init=cfg.zira_lan_scale,
-                    zero_value=cfg.zira_zero_init, dtype=cd, name="rep_linear_adapter",
-                )(bert_out, train=train)
+            lang_adapter = _language_adapter(cfg, cd) if is_zira else None
+            if lang_adapter is not None:
+                rep_out, loss_linear_adapter = lang_adapter(bert_out, train=train)
                 encoded_text = encoded_text + rep_out
-            else:
+            elif not is_zira:
                 cet_cls = {
                     "Adapter": Adapter, "Linear": LinearAdapter,
                     "Transformer": TransformerAdapter,
@@ -203,11 +238,13 @@ class GroundingDINO(nn.Module):
             )
             extra = None
             if cfg.use_project_adapter and is_zira:
-                extra, zl = RepZeroConv(
-                    features=cfg.hidden_dim, kernel_size=ks, stride=stride,
-                    scale_init=cfg.zira_vis_scale, zero_value=cfg.zira_zero_init,
-                    dtype=cd, name=f"input_proj_conv_adapter_{lvl}",
-                )(src_in, train=train)
+                va_cls = _vision_adapter_cls(cfg)
+                kw = dict(features=cfg.hidden_dim, kernel_size=ks, stride=stride,
+                          zero_value=cfg.zira_zero_init, dtype=cd,
+                          name=f"input_proj_conv_adapter_{lvl}")
+                if va_cls is RepZeroConv:
+                    kw["scale_init"] = cfg.zira_vis_scale
+                extra, zl = va_cls(**kw)(src_in, train=train)
                 loss_conv_adapter = loss_conv_adapter + zl
             src = proj(src_in, extra)
             if lvl < num_backbone_outs:

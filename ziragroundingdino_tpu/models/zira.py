@@ -38,10 +38,21 @@ def smooth_l1_to_zero(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
     return jnp.mean(jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta))
 
 
+def l1_to_zero(x: jnp.ndarray) -> jnp.ndarray:
+    """torch L1Loss(x, 0) — the multilayer variant's ZIL
+    (`groundingdino_dual_zero_rep_multilayer_branch.py:89`)."""
+    return jnp.mean(jnp.abs(x.astype(jnp.float32)))
+
+
+def zil_fn(kind: str):
+    return {"smooth_l1": smooth_l1_to_zero, "l1": l1_to_zero}[kind]
+
+
 class RepZeroLinear(nn.Module):
     features: int
     scale_init: float = LAN_SCALE
     zero_value: float = ZERO_VALUE
+    zil: str = "smooth_l1"  # multilayer variant uses "l1" with scale 1.0
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -66,8 +77,8 @@ class RepZeroLinear(nn.Module):
             jnp.dot(x.astype(cd), branch_k.astype(cd)) + branch_b.astype(cd)
         )
         out = branch_out + out_freeze
-        zil = smooth_l1_to_zero(branch_out) + smooth_l1_to_zero(out)
-        return out, zil
+        loss = zil_fn(self.zil)
+        return out, loss(branch_out) + loss(out)
 
 
 class RepZeroConv(nn.Module):
@@ -118,6 +129,216 @@ class RepZeroConv(nn.Module):
         return out, zil
 
 
+class RepZeroConvGN(nn.Module):
+    """Multilayer variant's vision module (`groundingdino_dual_zero_rep_
+    multilayer_branch.py:70-113`): dual conv branches whose SUM passes a
+    zero-init GroupNorm during training ("freeze_gn", weight/bias init
+    1e-8); eval uses the freeze conv only (no GN). scaling init 1.0; L1 ZIL."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    zero_value: float = ZERO_VALUE
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cd = self.dtype or x.dtype
+        ks = self.kernel_size
+        cin = x.shape[-1]
+        pad = [(ks // 2, ks // 2)] * 2
+
+        freeze_k = self.param("freeze_kernel", nn.initializers.zeros, (ks, ks, cin, self.features))
+        freeze_b = self.param("freeze_bias", nn.initializers.zeros, (self.features,))
+        branch_k = self.param(
+            "branch_kernel", nn.initializers.constant(self.zero_value),
+            (ks, ks, cin, self.features),
+        )
+        branch_b = self.param(
+            "branch_bias", nn.initializers.constant(self.zero_value), (self.features,)
+        )
+        scaling = self.param("scaling", nn.initializers.ones, (1,))
+        gn_scale = self.param(
+            "freeze_gn_scale", nn.initializers.constant(self.zero_value), (self.features,)
+        )
+        gn_bias = self.param(
+            "freeze_gn_bias", nn.initializers.constant(self.zero_value), (self.features,)
+        )
+
+        def conv(inp, kern, b):
+            y = jax.lax.conv_general_dilated(
+                inp.astype(cd), kern.astype(cd),
+                window_strides=(self.stride, self.stride), padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + b.astype(cd)
+
+        out_freeze = conv(x, freeze_k, freeze_b)
+        if not train:
+            return out_freeze, jnp.zeros((), jnp.float32)
+
+        branch_out = conv(x, branch_k, branch_b) * scaling.astype(cd)
+        s = (branch_out + out_freeze).astype(jnp.float32)
+        b_, h_, w_, c_ = s.shape
+        g = 32
+        sg = s.reshape(b_, h_ * w_, g, c_ // g)
+        mean = sg.mean(axis=(1, 3), keepdims=True)
+        var = jnp.mean(jnp.square(sg - mean), axis=(1, 3), keepdims=True)
+        sg = (sg - mean) * jax.lax.rsqrt(var + 1e-5)
+        out = sg.reshape(b_, h_, w_, c_) * gn_scale + gn_bias
+        out = out.astype(cd)
+        zil = l1_to_zero(branch_out) + l1_to_zero(out)
+        return out, zil
+
+
+class RepZeroTransformerLayer(nn.Module):
+    """Frozen MHA + dual-branch FFN linears (`groundingdino_dual_zero_rep_
+    multilayer_branch.py:149-227`); merge adds branch into freeze 1:1."""
+
+    embed_dim: int
+    nhead: int = 8
+    down_dim: int = 2048
+    zero_value: float = ZERO_VALUE
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        from ziragroundingdino_tpu.models.layers import LayerNorm, MultiHeadAttention, Dense
+
+        cd = self.dtype or x.dtype
+        attn = MultiHeadAttention(num_heads=self.nhead, dtype=cd, name="freeze_self_attn")(
+            x, x, x
+        )
+        x = LayerNorm(name="freeze_norm1")(x + attn).astype(cd)
+
+        def dual(name_freeze, name_free, feat, inp):
+            d = inp.shape[-1]
+            fk = self.param(f"{name_freeze}_kernel", nn.initializers.zeros, (d, feat))
+            fb = self.param(f"{name_freeze}_bias", nn.initializers.zeros, (feat,))
+            bk = self.param(
+                f"{name_free}_kernel", nn.initializers.constant(self.zero_value), (d, feat)
+            )
+            bb = self.param(
+                f"{name_free}_bias", nn.initializers.constant(self.zero_value), (feat,)
+            )
+            frozen = jnp.dot(inp.astype(cd), fk.astype(cd)) + fb.astype(cd)
+            if not train:
+                return frozen, None
+            branch = jnp.dot(inp.astype(cd), bk.astype(cd)) + bb.astype(cd)
+            return frozen + branch, branch
+
+        # NOTE: freeze_linear1 is randomly init in torch (nn.Linear default);
+        # here zeros — checkpoint conversion overwrites it, fresh training of
+        # this (unused-by-default) module differs only in init
+        y1, b1 = dual("freeze_linear1", "free_linear1", self.down_dim, x)
+        y1 = jax.nn.relu(y1)
+        y2, b2 = dual("freeze_linear2", "free_linear2", self.embed_dim, y1)
+        out = LayerNorm(name="freeze_norm2")(y2).astype(cd)
+        if not train:
+            return out, jnp.zeros((), jnp.float32)
+        return out, l1_to_zero(b1) + l1_to_zero(b2) + l1_to_zero(out)
+
+
+class ZeroConvBN(nn.Module):
+    """repconvbn variant (`groundingdino_repconvbn.py:65-140`): branch =
+    conv + BatchNorm (stats updated in training), merged by folding BN into
+    the conv at `__rep__`. BN statistics live in a `batch_stats` collection."""
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    zero_value: float = ZERO_VALUE
+    momentum: float = 0.9
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cd = self.dtype or x.dtype
+        ks = self.kernel_size
+        cin = x.shape[-1]
+        pad = [(ks // 2, ks // 2)] * 2
+
+        freeze_k = self.param("freeze_kernel", nn.initializers.zeros, (ks, ks, cin, self.features))
+        freeze_b = self.param("freeze_bias", nn.initializers.zeros, (self.features,))
+        branch_k = self.param(
+            "branch_kernel", nn.initializers.constant(self.zero_value),
+            (ks, ks, cin, self.features),
+        )
+        branch_b = self.param(
+            "branch_bias", nn.initializers.constant(self.zero_value), (self.features,)
+        )
+        bn_scale = self.param("bn_scale", nn.initializers.constant(self.zero_value), (self.features,))
+        bn_bias = self.param("bn_bias", nn.initializers.constant(self.zero_value), (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "bn_mean",
+            lambda: jnp.full((self.features,), self.zero_value, jnp.float32),
+        )
+        ra_var = self.variable(
+            "batch_stats", "bn_var",
+            lambda: jnp.full((self.features,), self.zero_value, jnp.float32),
+        )
+
+        def conv(inp, kern, b):
+            y = jax.lax.conv_general_dilated(
+                inp.astype(cd), kern.astype(cd),
+                window_strides=(self.stride, self.stride), padding=pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + b.astype(cd)
+
+        out_freeze = conv(x, freeze_k, freeze_b)
+        if not train:
+            return out_freeze, jnp.zeros((), jnp.float32)
+
+        y = conv(x, branch_k, branch_b).astype(jnp.float32)
+        mean = jnp.mean(y, axis=(0, 1, 2))
+        var = jnp.var(y, axis=(0, 1, 2))
+        if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+            ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+            ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        y = (y - mean) * jax.lax.rsqrt(var + 1e-5) * bn_scale + bn_bias
+        branch_out = y.astype(cd)
+        out = branch_out + out_freeze
+        zil = smooth_l1_to_zero(branch_out) + smooth_l1_to_zero(out)
+        return out, zil
+
+
+def rep_merge_convbn(params, batch_stats, zero_value: float = ZERO_VALUE, eps: float = 1e-5):
+    """`__rep__` for ZeroConvBN (`groundingdino_repconvbn.py:107-140`):
+    fold BN into the branch conv (`_fuse_bn_tensor`) then add into freeze.
+    Returns (params', batch_stats')."""
+
+    def merge(p, s):
+        if isinstance(p, dict) and "bn_scale" in p and "branch_kernel" in p:
+            new = dict(p)
+            std = jnp.sqrt(s["bn_var"] + eps)
+            t = p["bn_scale"] / std
+            new["freeze_kernel"] = p["freeze_kernel"] + p["branch_kernel"] * t
+            new["freeze_bias"] = p["freeze_bias"] + (
+                p["bn_bias"] + (p["branch_bias"] - s["bn_mean"]) * t
+            )
+            new["branch_kernel"] = jnp.full_like(p["branch_kernel"], zero_value)
+            new["branch_bias"] = jnp.full_like(p["branch_bias"], zero_value)
+            new["bn_scale"] = jnp.full_like(p["bn_scale"], zero_value)
+            new["bn_bias"] = jnp.full_like(p["bn_bias"], zero_value)
+            ns = {
+                "bn_mean": jnp.full_like(s["bn_mean"], zero_value),
+                "bn_var": jnp.full_like(s["bn_var"], zero_value),
+            }
+            return new, ns
+        if isinstance(p, dict):
+            out_p, out_s = {}, {}
+            for k2, v2 in p.items():
+                if isinstance(s, dict) and k2 in s:
+                    out_p[k2], out_s[k2] = merge(v2, s[k2])
+                else:
+                    out_p[k2], out_s[k2] = v2, None
+            return out_p, {k2: v2 for k2, v2 in out_s.items() if v2 is not None}
+        return p, s
+
+    return merge(params, batch_stats)
+
+
 def is_rep_module(subtree) -> bool:
     return (
         isinstance(subtree, dict)
@@ -145,10 +366,21 @@ def rep_merge(params, zero_value: float = ZERO_VALUE):
             new["freeze_bias"] = sub["freeze_bias"] + s[0] * sub["branch_bias"]
             new["branch_kernel"] = jnp.full_like(sub["branch_kernel"], zero_value)
             new["branch_bias"] = jnp.full_like(sub["branch_bias"], zero_value)
-            # scaling reset to init value: the reference re-creates the
-            # parameter at lan/vis scale; both are 0.1
-            new["scaling"] = jnp.full_like(s, LAN_SCALE)
+            # scaling resets to its init: 0.1 for the dual variant
+            # (`:97-103`), 1.0 for the multilayer/GN variant (`:107-113`);
+            # freeze_gn_* params (if any) are untouched, like the reference
+            reset = 1.0 if "freeze_gn_scale" in sub else LAN_SCALE
+            new["scaling"] = jnp.full_like(s, reset)
             return new
+        if isinstance(sub, dict) and "free_linear1_kernel" in sub:
+            # RepZeroTransformerLayer (`multilayer_branch.py:186-196`)
+            new = dict(sub)
+            for i in (1, 2):
+                for part in ("kernel", "bias"):
+                    fz, fr = f"freeze_linear{i}_{part}", f"free_linear{i}_{part}"
+                    new[fz] = sub[fz] + sub[fr]
+                    new[fr] = jnp.full_like(sub[fr], zero_value)
+            return {k: (merge(v) if isinstance(v, dict) else v) for k, v in new.items()}
         if isinstance(sub, dict):
             return {k: merge(v) for k, v in sub.items()}
         return sub

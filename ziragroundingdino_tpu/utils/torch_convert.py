@@ -124,11 +124,31 @@ _rule(r"input_proj\.(\d+)\.0\.bias$", r"input_proj_\1/conv/bias")
 _ln_rules(r"input_proj\.(\d+)\.1", r"input_proj_\1/norm")
 
 # ---- ZiRa rep branches ------------------------------------------------------
-_rule(r"rep_linear_adapter\.weight$", "rep_linear_adapter/branch_kernel", _t)
-_rule(r"rep_linear_adapter\.bias$", "rep_linear_adapter/branch_bias")
-_rule(r"rep_linear_adapter\.scaling$", "rep_linear_adapter/scaling")
-_rule(r"rep_linear_adapter\.freeze_linear\.weight$", "rep_linear_adapter/freeze_kernel", _t)
-_rule(r"rep_linear_adapter\.freeze_linear\.bias$", "rep_linear_adapter/freeze_bias")
+for ln in ("rep_linear_adapter", "rep_language_adapter"):
+    _rule(rf"{ln}\.weight$", f"{ln}/branch_kernel", _t)
+    _rule(rf"{ln}\.bias$", f"{ln}/branch_bias")
+    _rule(rf"{ln}\.scaling$", f"{ln}/scaling")
+    _rule(rf"{ln}\.freeze_linear\.weight$", f"{ln}/freeze_kernel", _t)
+    _rule(rf"{ln}\.freeze_linear\.bias$", f"{ln}/freeze_bias")
+# multilayer variant's freeze GN (`multilayer_branch.py:83`)
+_rule(r"input_proj_conv_adapter\.(\d+)\.freeze_gn\.weight$",
+      r"input_proj_conv_adapter_\1/freeze_gn_scale")
+_rule(r"input_proj_conv_adapter\.(\d+)\.freeze_gn\.bias$",
+      r"input_proj_conv_adapter_\1/freeze_gn_bias")
+# repconvbn variant's conv+bn branch (`groundingdino_repconvbn.py:65-95`)
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.conv\.weight$",
+      r"input_proj_conv_adapter_\1/branch_kernel", _conv)
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.conv\.bias$",
+      r"input_proj_conv_adapter_\1/branch_bias")
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.bn\.weight$",
+      r"input_proj_conv_adapter_\1/bn_scale")
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.bn\.bias$",
+      r"input_proj_conv_adapter_\1/bn_bias")
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.bn\.running_mean$",
+      r"<stats>input_proj_conv_adapter_\1/bn_mean")
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.bn\.running_var$",
+      r"<stats>input_proj_conv_adapter_\1/bn_var")
+_rule(r"input_proj_conv_adapter\.(\d+)\.branch\.bn\.num_batches_tracked$", "<drop>")
 _rule(r"input_proj_conv_adapter\.(\d+)\.weight$",
       r"input_proj_conv_adapter_\1/branch_kernel", _conv)
 _rule(r"input_proj_conv_adapter\.(\d+)\.bias$", r"input_proj_conv_adapter_\1/branch_bias")
@@ -241,9 +261,11 @@ _rule(r"label_enc\..*$", "<drop>")
 def convert_state_dict(
     torch_sd: Dict[str, np.ndarray],
 ) -> Tuple[Dict, Dict[str, np.ndarray], List[str]]:
-    """Returns (flax param tree, prompt_memory dict, unmatched keys)."""
+    """Returns (flax param tree, batch_stats tree, prompt_memory dict,
+    unmatched keys)."""
     sd = clean_state_dict(torch_sd)
     tree: Dict = {}
+    batch_stats: Dict = {}
     prompt_memory: Dict[str, np.ndarray] = {}
     unmatched: List[str] = []
 
@@ -261,8 +283,12 @@ def convert_state_dict(
                 name = key[len("prompt_memory_pool."):]
                 prompt_memory[name] = val
                 break
+            target = tree
             path = m.expand(dst) if "\\" in dst else dst
-            node = tree
+            if path.startswith("<stats>"):
+                path = path[len("<stats>"):]
+                target = batch_stats
+            node = target
             parts = path.split("/")
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
@@ -270,7 +296,7 @@ def convert_state_dict(
             break
         if not hit:
             unmatched.append(key)
-    return tree, prompt_memory, unmatched
+    return tree, batch_stats, prompt_memory, unmatched
 
 
 def load_torch_checkpoint(path: str):
