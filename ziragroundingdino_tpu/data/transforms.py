@@ -40,6 +40,24 @@ class Sample:
     image_id: int = 0
 
 
+def _resize_u8(image: np.ndarray, nh: int, nw: int) -> np.ndarray:
+    """PIL-BILINEAR resize. PIL's SIMD implementation is the fast path
+    (measured ~1.8x faster than our scalar C++ kernel); the native kernel
+    (ziragroundingdino_tpu.native, parity-tested vs PIL) covers PIL-free
+    deployments."""
+    try:
+        from PIL import Image
+
+        return np.asarray(Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+    except ImportError:
+        from ziragroundingdino_tpu.native import resize_bilinear_u8
+
+        out = resize_bilinear_u8(image, nh, nw)
+        if out is None:
+            raise RuntimeError("neither PIL nor the native resize is available")
+        return out
+
+
 def resize_shortest_edge(
     image: np.ndarray,
     boxes: np.ndarray,
@@ -48,17 +66,13 @@ def resize_shortest_edge(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """d2 ResizeShortestEdge semantics: scale so min side == short, cap the
     max side at max_size."""
-    from PIL import Image
-
     h, w = image.shape[:2]
     scale = short / min(h, w)
     if max(h, w) * scale > max_size:
         scale = max_size / max(h, w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
     if (nh, nw) != (h, w):
-        pil = Image.fromarray(image.astype(np.uint8) if image.dtype != np.uint8 else image)
-        pil = pil.resize((nw, nh), Image.BILINEAR)
-        image = np.asarray(pil)
+        image = _resize_u8(np.ascontiguousarray(image, np.uint8), nh, nw)
     if boxes.size:
         boxes = boxes * np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
     return image, boxes
