@@ -1,0 +1,64 @@
+"""Aux subsystems: VOC AP, SLConfig shim, writers, metric logger."""
+
+import logging
+
+import numpy as np
+import pytest
+
+from ziragroundingdino_tpu.eval.voc_map import VocMeanAP
+from ziragroundingdino_tpu.utils.events import CommonMetricPrinter, print_csv_format
+from ziragroundingdino_tpu.utils.profiling import MetricLogger, SmoothedValue
+from ziragroundingdino_tpu.utils.slconfig import config_from_slconfig
+
+
+def test_voc_map_known_values():
+    ev = VocMeanAP(num_classes=1)
+    gt = np.array([[0, 0, 50, 50], [100, 100, 150, 150]], np.float32)
+    det = np.array([[0, 0, 50, 50], [300, 300, 340, 340]], np.float32)
+    ev.add(0, det, np.array([0.9, 0.8]), np.array([0, 0]), gt, np.array([0, 0]))
+    res = ev.summarize()
+    # area interpolation: precision 1.0 up to recall .5 -> AP = 0.5
+    assert res["mAP"] == pytest.approx(50.0, abs=1e-4)
+
+    ev07 = VocMeanAP(num_classes=1, use_07_metric=True)
+    ev07.add(0, det, np.array([0.9, 0.8]), np.array([0, 0]), gt, np.array([0, 0]))
+    # 11-point: t in {0,.1,..,.5} get p=1 -> 6/11
+    assert ev07.summarize()["mAP"] == pytest.approx(6 / 11 * 100, abs=1e-3)
+
+
+def test_slconfig_shim(tmp_path):
+    f = tmp_path / "model_cfg.py"
+    f.write_text(
+        "modelname = 'dualzerorepbranchgroundingdino'\n"
+        "hidden_dim = 256\n"
+        "enc_layers = 6\n"
+        "pe_temperatureH = 20\n"
+        "use_dn = False\n"
+        "return_interm_indices = [1, 2, 3]\n"
+        "unknown_knob = 42\n"
+    )
+    cfg, ignored = config_from_slconfig(str(f))
+    assert cfg.modelname == "dualzerorepbranchgroundingdino"
+    assert cfg.hidden_dim == 256 and cfg.enc_layers == 6
+    assert cfg.pe_temperature_h == 20
+    assert cfg.return_interm_indices == (1, 2, 3)
+    assert "use_dn" in ignored and "unknown_knob" in ignored
+
+
+def test_writers_and_meters(caplog):
+    with caplog.at_level(logging.INFO, logger="ziragroundingdino_tpu"):
+        p = CommonMetricPrinter(max_iter=100)
+        p.write(10, {"total_loss": 1.5})
+        p.write(20, {"total_loss": 1.2})
+        print_csv_format({"coco": {"AP": 12.3456, "AP50": 20.0}})
+    text = caplog.text
+    assert "total_loss" in text and "copypaste" in text and "12.3456" in text
+
+    m = MetricLogger()
+    for i in range(5):
+        m.update(loss=float(i))
+    assert "loss" in str(m)
+    sv = SmoothedValue(window=2)
+    for v in (1.0, 2.0, 3.0):
+        sv.update(v)
+    assert sv.avg == 2.5 and sv.global_avg == 2.0

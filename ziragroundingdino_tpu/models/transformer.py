@@ -524,7 +524,15 @@ class Transformer(nn.Module):
         enc_coords = enc_bbox_embed(output_memory).astype(jnp.float32) + output_proposals
 
         topk = cfg.num_queries
-        _, topk_idx = jax.lax.top_k(topk_logits, topk)  # [B, K]
+        s_total = topk_logits.shape[1]
+        if s_total >= topk:
+            _, topk_idx = jax.lax.top_k(topk_logits, topk)  # [B, K]
+        else:
+            # degenerate tiny-image case (fewer pixels than queries): take
+            # everything and cycle — keeps static shapes, harmless duplicates
+            _, idx_all = jax.lax.top_k(topk_logits, s_total)
+            reps = -(-topk // s_total)
+            topk_idx = jnp.tile(idx_all, (1, reps))[:, :topk]
 
         refpoint_embed_undetach = jnp.take_along_axis(
             enc_coords, topk_idx[..., None], axis=1

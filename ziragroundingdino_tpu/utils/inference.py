@@ -50,9 +50,10 @@ def load_model(
     model = GroundingDINO(cfg=cfg)
     tokenizer = WordPieceTokenizer(load_vocab(vocab_path))
 
-    # init with a minimal dummy batch to build the param skeleton
-    pixels = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    mask = jnp.ones((1, 64, 64), bool)
+    # init with a minimal dummy batch to build the param skeleton (image must
+    # carry >= num_queries multi-scale tokens: 128px covers 900 queries)
+    pixels = jnp.zeros((1, 128, 128, 3), jnp.float32)
+    mask = jnp.ones((1, 128, 128), bool)
     tb = tokenize_captions(tokenizer, ["object."], max_text_len=cfg.max_text_len,
                            max_categories=cfg.max_categories)
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
