@@ -79,7 +79,7 @@ def test_msda_jit_and_grad():
     f1 = f(jnp.asarray(value + eps * dv), jnp.asarray(locs), jnp.asarray(attn))
     fd = (f1 - f0) / (2 * eps)
     analytic = jnp.vdot(g[0], jnp.asarray(dv))
-    np.testing.assert_allclose(float(fd), float(analytic), rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(float(fd), float(analytic), rtol=1e-2, atol=1e-2)
 
 
 def test_msda_grad_locations_fd():

@@ -43,7 +43,7 @@ def ms_deform_attn_xla_quad(
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
-    q_chunk: int = 1024,
+    q_chunk: int = 4096,
 ) -> jnp.ndarray:
     """Quad-packed MSDA — the TPU fast path (numerics identical to
     `ms_deform_attn_xla`).
@@ -144,10 +144,10 @@ def ms_deform_attn_xla_quad(
             slice_sizes=(1, 4 * D),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         ).reshape(B, qc, H, k, 4, D)
-        # fold corners+points on the VPU; accumulate fp32
-        o = jnp.einsum(
-            "bqhkcd,bqhkc->bqhd", g, cw, preferred_element_type=jnp.float32
-        )
+        # multiply in the input dtype, single fused f32-accumulating reduce
+        # over (points*levels, corners) — measured fastest on v5e (einsum with
+        # preferred f32 makes XLA materialize an f32 copy of g)
+        o = jnp.sum(g * cw[..., None], axis=(3, 4), dtype=jnp.float32)
         return None, o
 
     _, out = jax.lax.scan(chunk, None, (idx_c, wts_c))  # [Nc, B, qc, H, D]
