@@ -68,7 +68,10 @@ def main():
     from ziragroundingdino_tpu.train.trainer import Trainer
     from ziragroundingdino_tpu.utils.inference import load_model
 
-    lm = load_model(args.checkpoint, args.vocab, preset=args.preset)
+    # remat the encoder in training: recompute activations in backward
+    # instead of keeping the gathered MSDA tensors per layer (6x ~0.7GB/img)
+    lm = load_model(args.checkpoint, args.vocab, preset=args.preset,
+                    use_checkpoint=True, use_transformer_ckpt=True)
     model, tokenizer, cfg = lm.model, lm.tokenizer, lm.cfg
     dcfg = DataConfig()
     rng = np.random.RandomState(args.seed)

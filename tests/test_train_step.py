@@ -147,3 +147,32 @@ def test_train_step_on_8dev_mesh(setup):
     assert np.isfinite(float(total))
     gn = float(jax.jit(lambda g: sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(g)))(grads))
     assert np.isfinite(gn) and gn > 0.0
+
+
+def test_sharded_inference_8dev(setup):
+    """DP inference over the 8-device mesh through the sharded wrapper."""
+    from ziragroundingdino_tpu.eval.evaluator import make_inference_fn
+    from ziragroundingdino_tpu.parallel.mesh import make_mesh
+    from ziragroundingdino_tpu.parallel.sharded_eval import (
+        make_sharded_inference_fn, pad_batch_to,
+    )
+
+    cfg, model, params, batch = setup
+    mesh = make_mesh(data=8, model=1)
+    inf = make_inference_fn(model, select_k=5)
+    fn = make_sharded_inference_fn(inf, mesh, params)
+
+    batch8 = jax.tree_util.tree_map(
+        lambda x: np.concatenate([np.asarray(x)] * 4, axis=0), batch
+    )
+    batch8["orig_sizes"] = np.tile([[64, 96]], (8, 1)).astype(np.int32)
+    batch8["cate_to_token_mask"] = np.asarray(batch["cate_to_token_mask"])
+    batch8["cate_to_token_mask"] = np.concatenate(
+        [batch8["cate_to_token_mask"]] * 4, axis=0)
+    dets = fn(batch8)
+    assert dets["scores"].shape == (8, 5)
+    assert np.isfinite(np.asarray(dets["boxes"])).all()
+
+    short = jax.tree_util.tree_map(lambda x: np.asarray(x)[:3], batch8)
+    padded = pad_batch_to(short, 8)
+    assert padded["pixels"].shape[0] == 8

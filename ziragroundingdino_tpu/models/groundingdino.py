@@ -168,6 +168,8 @@ class GroundingDINO(nn.Module):
         # position_ids [B,T], text_self_attention_masks [B,T,T]
         train: bool = False,
         deterministic: bool = True,
+        prompt_replace_values: Optional[jnp.ndarray] = None,  # [B, T, E]
+        prompt_replace_mask: Optional[jnp.ndarray] = None,  # [B, T] bool
     ) -> Dict[str, Any]:
         cfg = self.cfg
         cd = self.compute_dtype
@@ -207,6 +209,16 @@ class GroundingDINO(nn.Module):
                     kw["gate_base_scale"] = 1.0
                 cet_out, loss_linear_adapter = cet_cls(**kw)(bert_out, deterministic)
                 encoded_text = encoded_text + cet_out
+
+        # prompt-memory injection: replace learned classes' token features
+        # with stored embeddings (`groundingdino_dt.py:521-531`, active at
+        # inference when use_prompt_memory_output, or under prompt tuning)
+        if prompt_replace_values is not None and prompt_replace_mask is not None:
+            encoded_text = jnp.where(
+                prompt_replace_mask[..., None],
+                prompt_replace_values.astype(encoded_text.dtype),
+                encoded_text,
+            )
 
         text_dict = {
             "encoded_text": encoded_text,

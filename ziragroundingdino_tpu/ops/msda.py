@@ -118,7 +118,13 @@ def ms_deform_attn_xla_quad(
     quad_table = jnp.concatenate(quads, axis=2).reshape(B * H * sq, 4 * D)
     k = L * P
     idx = jnp.stack(idx_parts, axis=3).reshape(B, Q, H, k)  # [B,Q,H,K]
+    # NOTE on layouts: wts as [..., K, 4] tile-pads 32x (4-lane last dim) —
+    # a transient cost per layer that remat keeps bounded in training; the
+    # "clean" [..., K*4]-with-in-chunk-broadcast alternative measured 15x
+    # slower forward (Mosaic handles the broadcast+reshape badly), so the
+    # compact-lane layout stays.
     wts = jnp.stack(wts_parts, axis=3).reshape(B, Q, H, k, 4)
+    wts = wts.astype(compute_dtype)
 
     bh_base = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]) * sq  # [B,H]
     idx_flat = idx + bh_base[:, None, :, None]  # [B, Q, H, K] global rows
@@ -131,7 +137,6 @@ def ms_deform_attn_xla_quad(
         wts = jnp.pad(wts, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
     idx_c = idx_flat.reshape(B, n_chunks, qc, H, k).transpose(1, 0, 2, 3, 4)
     wts_c = wts.reshape(B, n_chunks, qc, H, k, 4).transpose(1, 0, 2, 3, 4, 5)
-    wts_c = wts_c.astype(compute_dtype)
 
     gather_dnums = jax.lax.GatherDimensionNumbers(
         offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
@@ -145,8 +150,8 @@ def ms_deform_attn_xla_quad(
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         ).reshape(B, qc, H, k, 4, D)
         # multiply in the input dtype, single fused f32-accumulating reduce
-        # over (points*levels, corners) — measured fastest on v5e (einsum with
-        # preferred f32 makes XLA materialize an f32 copy of g)
+        # over (points*levels, corners) — measured fastest on v5e (einsum
+        # with preferred f32 makes XLA materialize an f32 copy of g)
         o = jnp.sum(g * cw[..., None], axis=(3, 4), dtype=jnp.float32)
         return None, o
 

@@ -130,6 +130,31 @@ def replay_memory_loss(
     return losses
 
 
+def build_prompt_injection(
+    prompt_memory: Dict[str, np.ndarray],
+    category_names: Sequence[Sequence[str]],  # per batch row
+    cate_to_token_mask: np.ndarray,  # [B, C, T]
+    hidden_dim: int,
+):
+    """(values [B,T,E], mask [B,T]) replacing learned classes' token features
+    at inference (`groundingdino_dt.py:521-531`). Pass to the model's
+    `prompt_replace_values/mask`."""
+    b, c, t = cate_to_token_mask.shape
+    values = np.zeros((b, t, hidden_dim), np.float32)
+    mask = np.zeros((b, t), bool)
+    for bi, names in enumerate(category_names):
+        for ci, name in enumerate(names[:c]):
+            key = f"-{name}-"
+            if key not in prompt_memory:
+                continue
+            pos = np.flatnonzero(cate_to_token_mask[bi, ci])
+            stored = prompt_memory[key]
+            n = min(len(pos), len(stored))
+            values[bi, pos[:n]] = stored[:n]
+            mask[bi, pos[:n]] = True
+    return values, mask
+
+
 def augment_caption_with_learned_names(
     category_names: Sequence[str],
     learned_classes: Sequence[str],
