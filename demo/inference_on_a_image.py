@@ -29,7 +29,11 @@ def main():
     ap.add_argument("--checkpoint", "-p", required=True)
     ap.add_argument("--vocab", required=True, help="bert-base-uncased vocab.txt")
     ap.add_argument("--image", "-i", required=True)
-    ap.add_argument("--text", "-t", required=True)
+    ap.add_argument("--text", "-t", default=None,
+                    help="free-form caption (phrase-decode mode)")
+    ap.add_argument("--classes", default=None,
+                    help="comma-separated class names (per-class logits mode, "
+                         "like demo/inference_on_a_image_multi_classes.py)")
     ap.add_argument("--output-dir", "-o", default="outputs")
     ap.add_argument("--box-threshold", type=float, default=0.3)
     ap.add_argument("--text-threshold", type=float, default=0.25)
@@ -49,15 +53,26 @@ def main():
         predict,
     )
 
+    if not args.text and not args.classes:
+        ap.error("one of --text or --classes is required")
+
     os.makedirs(args.output_dir, exist_ok=True)
     lm = load_model(args.checkpoint, args.vocab, preset=args.preset)
     image_source, (pixels, mask), size = load_image(args.image)
 
     t0 = time.time()
-    boxes, scores, phrases = predict(
-        lm, pixels, mask, args.text,
-        box_threshold=args.box_threshold, text_threshold=args.text_threshold,
-    )
+    if args.classes:
+        from ziragroundingdino_tpu.utils.inference import predict_classes
+
+        class_names = [c.strip() for c in args.classes.split(",") if c.strip()]
+        boxes, scores, phrases = predict_classes(
+            lm, pixels, mask, class_names, box_threshold=args.box_threshold,
+        )
+    else:
+        boxes, scores, phrases = predict(
+            lm, pixels, mask, args.text,
+            box_threshold=args.box_threshold, text_threshold=args.text_threshold,
+        )
     print("time:", time.time() - t0)
 
     annotated = annotate(image_source, boxes, scores, phrases)

@@ -62,3 +62,33 @@ def test_odinw_registry():
     assert "fewshot_train_shot1_seed3.json" in t1.train_json
     suite = odinw_suite("odinw13", "/data/odinw")
     assert [s.name for s in suite] == ODINW13
+
+
+def test_fewshot_and_io(tmp_path):
+    import json
+    from ziragroundingdino_tpu.data.coco import CocoDataset
+    from ziragroundingdino_tpu.data.fewshot import fewshot_subset, write_fewshot_json
+    from ziragroundingdino_tpu.utils import io as zio
+
+    images = [{"id": i, "file_name": f"{i}.jpg", "height": 10, "width": 10}
+              for i in range(20)]
+    anns = {i: [{"id": i + 1, "image_id": i, "category_id": (i % 2) + 1,
+                 "bbox": [0, 0, 5, 5]}] for i in range(20)}
+    ds = CocoDataset(image_root="/x", category_names=["a", "b"],
+                     cat_id_to_contiguous={1: 0, 2: 1}, images=images,
+                     anns_by_image=anns)
+    sub = fewshot_subset(ds, shots=2, seed=3)
+    labels = [ds.cat_id_to_contiguous[a["category_id"]]
+              for anns_ in sub.anns_by_image.values() for a in anns_]
+    assert labels.count(0) >= 2 and labels.count(1) >= 2
+    assert len(sub.images) <= 6
+
+    path = write_fewshot_json(ds, str(tmp_path), shots=1, seed=3)
+    assert path.endswith("fewshot_train_shot1_seed3.json")
+    reloaded = CocoDataset.from_json(path, "/x")
+    assert reloaded.category_names == ["a", "b"]
+
+    zio.dump({"x": 1}, str(tmp_path / "a.json"))
+    assert zio.load(str(tmp_path / "a.json")) == {"x": 1}
+    zio.dump([1, 2], str(tmp_path / "b.pkl"))
+    assert zio.load(str(tmp_path / "b.pkl")) == [1, 2]

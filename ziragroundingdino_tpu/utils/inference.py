@@ -151,6 +151,40 @@ def predict(
     return boxes, logits.max(axis=1), phrases
 
 
+def predict_classes(
+    lm: LoadedModel,
+    pixels: jnp.ndarray,
+    mask: jnp.ndarray,
+    class_names: Sequence[str],
+    box_threshold: float = 0.35,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Per-class mode (`demo/inference_on_a_image_multi_classes.py` /
+    `demo/groundingdino_detector.py:120-135`): caption = joined class names,
+    class of each box = argmax over per-category recovered logits."""
+    from ziragroundingdino_tpu.text.masks import recover_to_cls_logits
+    from ziragroundingdino_tpu.text.tokenizer import build_captions
+
+    caption = build_captions([c.lower().strip() for c in class_names])
+    tb = tokenize_captions(
+        lm.tokenizer, [caption], max_text_len=lm.cfg.max_text_len,
+        max_categories=max(len(class_names), 1),
+    )
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    out = jax.jit(
+        lambda p, px, m, t: lm.model.apply(p, px, m, t, train=False)
+    )(lm.params, pixels, mask, text)
+    t = tb.input_ids.shape[1]
+    cls_logits = recover_to_cls_logits(
+        out["pred_logits"][:, :, :t], jnp.asarray(tb.cate_to_token_mask)
+    )
+    probs = np.asarray(jax.nn.sigmoid(cls_logits[0]), np.float32)  # [Q, C]
+    boxes = np.asarray(out["pred_boxes"][0], np.float32)
+    best = probs.max(axis=1)
+    keep = best > box_threshold
+    labels = probs.argmax(axis=1)[keep]
+    return boxes[keep], best[keep], [class_names[i] for i in labels]
+
+
 def annotate(
     image_source: np.ndarray,
     boxes: np.ndarray,  # [N, 4] cxcywh normalized
