@@ -173,3 +173,42 @@ def test_evaluator_with_oracle_detector(coco_dir):
                                num_warmup=0, score_floor=0.5)
     assert res["n_images"] == 4
     assert res["AP"] == pytest.approx(100.0, abs=1e-4)
+
+
+def test_uint8_device_normalize_matches_host(coco_dir):
+    """uint8 transfer + on-device normalize == host-normalized fp32 path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.common import tiny_config, tiny_tokenizer
+    from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
+
+    jf, root = coco_dir
+    ds = CocoDataset.from_json(jf, root)
+    cfg = DataConfig(
+        train_short_sides=(64, 96), max_size=160, test_short_side=96,
+        shape_buckets=((96, 128), (128, 160)), max_boxes=10, num_workers=0,
+    )
+    tok = tiny_tokenizer()
+    samples = [ds.load_sample(i) for i in range(2)]
+    from ziragroundingdino_tpu.data.transforms import eval_transform
+    samples = [eval_transform(s, cfg) for s in samples]
+    b_f32 = collate(samples, ["cat.dog."] * 2, tok, cfg, 32, 8, train=False)
+    b_u8 = collate(samples, ["cat.dog."] * 2, tok, cfg, 32, 8, train=False,
+                   transfer_uint8=True)
+    assert b_u8["pixels"].dtype == np.uint8
+
+    mcfg = tiny_config()
+    model = GroundingDINO(cfg=mcfg)
+    text = {k: jnp.asarray(b_f32[k]) for k in (
+        "input_ids", "text_token_mask", "position_ids",
+        "text_self_attention_masks")}
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(b_f32["pixels"]),
+                        jnp.asarray(b_f32["mask"]), text)
+    out_f = model.apply(params, jnp.asarray(b_f32["pixels"]),
+                        jnp.asarray(b_f32["mask"]), text)
+    out_u = model.apply(params, jnp.asarray(b_u8["pixels"]),
+                        jnp.asarray(b_u8["mask"]), text)
+    np.testing.assert_allclose(
+        np.asarray(out_f["pred_boxes"]), np.asarray(out_u["pred_boxes"]),
+        atol=1e-5, rtol=1e-4)

@@ -166,6 +166,12 @@ class GroundingDINOConfig:
     use_cls_linear: bool = False
     use_prompt_tuning: bool = False
 
+    # pixel normalization — the reference model owns this
+    # (`groundingdino_dt.py::normalizer`, mean/std from the dt config);
+    # applied on device when the model receives uint8 pixels
+    pixel_mean: Tuple[float, float, float] = (123.675, 116.28, 103.53)
+    pixel_std: Tuple[float, float, float] = (58.395, 57.12, 57.375)
+
     # --- TPU-specific (no reference counterpart) ---
     # compute dtype for matmul-heavy paths; params always fp32
     compute_dtype: str = "bfloat16"

@@ -60,15 +60,21 @@ def collate(
     max_text_len: int = 256,
     max_categories: int = 90,
     train: bool = True,
+    transfer_uint8: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Build the fixed-shape batch dict consumed by train/eval steps."""
+    """Build the fixed-shape batch dict consumed by train/eval steps.
+
+    transfer_uint8=True ships raw uint8 pixels (4x less host->device traffic)
+    and defers normalization to the device — the model/step normalizes when
+    it sees uint8 input (padded region re-zeroed via the mask, matching the
+    reference's normalize-then-pad order)."""
     # shared bucket: the largest per-image bucket in the batch
     buckets = [pick_bucket(s.image.shape[0], s.image.shape[1], cfg.shape_buckets) for s in samples]
     bh = max(b[0] for b in buckets)
     bw = max(b[1] for b in buckets)
 
     b = len(samples)
-    pixels = np.zeros((b, bh, bw, 3), np.float32)
+    pixels = np.zeros((b, bh, bw, 3), np.uint8 if transfer_uint8 else np.float32)
     mask = np.zeros((b, bh, bw), bool)
     n_max = cfg.max_boxes
     gt_boxes = np.zeros((b, n_max, 4), np.float32)
@@ -79,7 +85,12 @@ def collate(
     image_ids = np.zeros((b,), np.int64)
 
     for i, s in enumerate(samples):
-        img, m = pad_to_bucket(normalize(s.image, cfg), (bh, bw))
+        if transfer_uint8:
+            img, m = pad_to_bucket(
+                np.ascontiguousarray(s.image, np.uint8), (bh, bw)
+            )
+        else:
+            img, m = pad_to_bucket(normalize(s.image, cfg), (bh, bw))
         pixels[i], mask[i] = img, m
         h, w = s.image.shape[:2]
         sizes[i] = (h, w)
@@ -128,6 +139,7 @@ class DataLoader:
         max_categories: int = 90,
         num_workers: Optional[int] = None,
         caption: Optional[str] = None,
+        transfer_uint8: bool = False,
     ):
         self.ds = dataset
         self.tokenizer = tokenizer
@@ -139,6 +151,7 @@ class DataLoader:
         self.max_categories = max_categories
         self.num_workers = cfg.num_workers if num_workers is None else num_workers
         self.caption = caption if caption is not None else dataset.caption
+        self.transfer_uint8 = transfer_uint8
 
     def _make_sample(self, idx: int) -> Sample:
         s = self.ds.load_sample(idx)
@@ -161,6 +174,7 @@ class DataLoader:
                 yield collate(
                     samples, [self.caption] * len(samples), self.tokenizer,
                     self.cfg, self.max_text_len, self.max_categories, train=True,
+                    transfer_uint8=self.transfer_uint8,
                 )
 
     def _eval_iter(self):
@@ -176,6 +190,7 @@ class DataLoader:
             batch = collate(
                 samples, [self.caption] * len(samples), self.tokenizer,
                 self.cfg, self.max_text_len, self.max_categories, train=False,
+                transfer_uint8=self.transfer_uint8,
             )
             batch["real_count"] = np.asarray(real, np.int32)
             yield batch

@@ -175,6 +175,16 @@ class GroundingDINO(nn.Module):
         cd = self.compute_dtype
         is_zira = cfg.modelname in ZIRA_MODELNAMES
 
+        # on-device normalization for uint8 inputs (4x smaller host->device
+        # transfers; the reference's model-side normalizer,
+        # `groundingdino_dt.py::normalizer`); padded pixels re-zeroed to match
+        # the normalize-then-pad order
+        if pixels.dtype == jnp.uint8:
+            mean = jnp.asarray(cfg.pixel_mean, jnp.float32)
+            std = jnp.asarray(cfg.pixel_std, jnp.float32)
+            pixels = (pixels.astype(jnp.float32) - mean) / std
+            pixels = jnp.where(mask[..., None], pixels, 0.0)
+
         # ------------------------------------------------ text path
         bert_out = BertEncoder(cfg.bert, dtype=cd, name="bert")(
             text["input_ids"],
