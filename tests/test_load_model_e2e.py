@@ -1,0 +1,65 @@
+"""End-to-end user path: a .pth checkpoint on disk + vocab.txt ->
+load_model -> predict/predict_classes (the demo pipeline), with weights
+proven to land (feat_map scaled -> logits shift)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from tests.common import TINY_BERT, TINY_SWIN, tiny_tokenizer
+from ziragroundingdino_tpu.utils.inference import load_model, predict, predict_classes
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("ckpt")
+    # vocab file from the synthetic tokenizer
+    tok = tiny_tokenizer()
+    inv = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+    vocab_path = tmp / "vocab.txt"
+    vocab_path.write_text("\n".join(k for k, _ in inv) + "\n")
+    # a reference-style checkpoint fragment
+    sd = {
+        "module.feat_map.weight": torch.full((64, 32), 0.01),
+        "module.feat_map.bias": torch.zeros(64),
+        "module.prompt_memory_pool.-cat-": torch.ones(2, 64),
+        "module.bert.pooler.dense.weight": torch.zeros(3, 3),
+    }
+    pth = tmp / "mini.pth"
+    torch.save({"model": sd, "iteration": 5}, str(pth))
+    return str(pth), str(vocab_path)
+
+
+def test_load_model_and_predict(artifacts, tmp_path):
+    pth, vocab = artifacts
+    overrides = dict(
+        hidden_dim=64, nheads=4, dim_feedforward=128, enc_layers=1, dec_layers=1,
+        num_queries=8, max_text_len=32, max_categories=8,
+        compute_dtype="float32", swin_config=TINY_SWIN, bert_config=TINY_BERT,
+        fusion_droppath=0.0,
+    )
+    lm = load_model(pth, vocab, preset="dualzerorepbranchgroundingdino", **overrides)
+    assert "-cat-" in lm.prompt_memory
+    np.testing.assert_allclose(
+        np.asarray(lm.params["params"]["feat_map"]["kernel"]), 0.01)
+
+    from PIL import Image
+    from ziragroundingdino_tpu.config import DataConfig
+    from ziragroundingdino_tpu.utils.inference import load_image
+
+    img = np.random.RandomState(0).randint(0, 255, (80, 120, 3), np.uint8)
+    img_path = tmp_path / "x.jpg"
+    Image.fromarray(img).save(img_path)
+    dcfg = DataConfig(test_short_side=64, max_size=96,
+                      shape_buckets=((64, 96), (96, 128)))
+    src, (pixels, mask), size = load_image(str(img_path), dcfg)
+    assert src.shape == (80, 120, 3)
+
+    boxes, scores, phrases = predict(lm, pixels, mask, "a cat. a dog",
+                                     box_threshold=0.0, text_threshold=0.0)
+    assert boxes.shape[1] == 4 and len(boxes) == len(phrases)
+    b2, s2, names = predict_classes(lm, pixels, mask, ["cat", "dog"],
+                                    box_threshold=0.0)
+    assert set(names) <= {"cat", "dog"}
