@@ -146,6 +146,12 @@ def main():
         logging.info("=== task %s (%d classes) ===", tm.name, len(task.class_names))
         state = run_task(state, task, model, make_trainer, tokenizer)
 
+    if args.replay_iters > 0:
+        from ziragroundingdino_tpu.train.incremental import run_replay_phase
+
+        logging.info("=== replay phase (%d iters) ===", args.replay_iters)
+        state = run_replay_phase(state, cfg, tokenizer, iters=args.replay_iters)
+
     coco_eval_fn = None
     if args.coco_json:
         from ziragroundingdino_tpu.data.coco import CocoDataset

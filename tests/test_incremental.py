@@ -181,3 +181,34 @@ def test_prompt_injection(setup):
     np.testing.assert_allclose(
         np.asarray(out_noop["pred_boxes"]), np.asarray(out_plain["pred_boxes"]),
         atol=1e-6)
+
+
+def test_replay_phase(setup):
+    """run_replay_phase optimizes side branches against the replay loss and
+    merges afterwards (branches re-zeroed)."""
+    from ziragroundingdino_tpu.train.incremental import run_replay_phase
+
+    cfg, model, params, batch = setup
+    tok = tiny_tokenizer()
+    pm = add_cls_prompt({}, cfg, params, tok, ["cat", "dog"], 32)
+    st = IncrementalState(params=jax.device_get(params), prompt_memory=pm,
+                          learned_classes=["cat", "dog"])
+    # perturb the freeze branch so replay has something to correct (random:
+    # a constant kernel shift is null through BERT's zero-mean LayerNorm)
+    rla = dict(st.params["rep_linear_adapter"])
+    rla["freeze_kernel"] = (np.asarray(rla["freeze_kernel"])
+                            + 0.02 * np.random.RandomState(5).randn(
+                                *np.asarray(rla["freeze_kernel"]).shape
+                            ).astype(np.float32))
+    st.params = dict(st.params, rep_linear_adapter=rla)
+    def total(p):
+        ls = replay_memory_loss(cfg, p, tok, ["cat", "dog"], pm, 32)
+        return sum(float(v) for v in ls.values())
+
+    before = total(st.params)
+    st2 = run_replay_phase(st, cfg, tok, iters=20, lr=3e-4)
+    after = total(st2.params)
+    assert after < before, (after, before)
+    np.testing.assert_allclose(
+        np.asarray(st2.params["rep_linear_adapter"]["branch_kernel"]).max(),
+        1e-8, rtol=1e-3)

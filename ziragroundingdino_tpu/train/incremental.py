@@ -220,6 +220,63 @@ def run_task(
     return state
 
 
+def run_replay_phase(
+    state: IncrementalState,
+    cfg: GroundingDINOConfig,
+    tokenizer: WordPieceTokenizer,
+    iters: int = 100,
+    lr: float = 1e-4,
+    image_batch_fn: Optional[Callable] = None,
+    image_loss_fn: Optional[Callable] = None,
+) -> IncrementalState:
+    """The MemoryReplayer phase (`train_multidatasets.py:257-312`): after the
+    task sequence, optimize the side branches against the text-side replay
+    distillation (`model.replay_memory()`), optionally combined with image
+    losses on a replay dataset (pass image_batch_fn/image_loss_fn for the
+    reference's COCO-replay configuration)."""
+    import optax
+
+    from ziragroundingdino_tpu.train.optim import (
+        ZIRA_TRAINABLE_PATTERNS, trainable_mask,
+    )
+
+    if not state.learned_classes:
+        return state
+    params = state.params
+    mask = trainable_mask(params, ZIRA_TRAINABLE_PATTERNS, freeze_all=True)
+    labels = jax.tree_util.tree_map(lambda t: "train" if t else "frozen", mask)
+    tx = optax.multi_transform(
+        {"train": optax.adamw(lr), "frozen": optax.set_to_zero()}, labels
+    )
+    opt_state = tx.init(params)
+    learned = list(state.learned_classes)
+    pm = state.prompt_memory
+
+    def loss_fn(p, batch=None):
+        losses = replay_memory_loss(
+            cfg, p, tokenizer, learned, pm, cfg.max_text_len
+        )
+        total = sum(jax.tree_util.tree_leaves(losses))
+        if image_loss_fn is not None and batch is not None:
+            total = total + image_loss_fn(p, batch)
+        return total
+
+    grad_fn = jax.jit(jax.value_and_grad(lambda p: loss_fn(p)))
+    for it in range(iters):
+        batch = image_batch_fn() if image_batch_fn is not None else None
+        if batch is None:
+            total, grads = grad_fn(params)
+        else:
+            total, grads = jax.value_and_grad(lambda p: loss_fn(p, batch))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if (it + 1) % 20 == 0 or it == 0:
+            logger.info("replay iter %d loss %.6f", it + 1, float(total))
+    # merge the replay-phase side-branch deltas like any other task
+    state.params = rep_merge(jax.device_get(params))
+    return state
+
+
 def final_report(
     state: IncrementalState,
     tasks: Sequence[TaskSpec],
