@@ -212,3 +212,27 @@ def test_uint8_device_normalize_matches_host(coco_dir):
     np.testing.assert_allclose(
         np.asarray(out_f["pred_boxes"]), np.asarray(out_u["pred_boxes"]),
         atol=1e-5, rtol=1e-4)
+
+
+def test_small_dataset_loader_and_prefetch(coco_dir):
+    """Datasets smaller than batch_size resample instead of hanging; the
+    num_workers prefetch path yields valid batches."""
+    jf, root = coco_dir
+    ds = CocoDataset.from_json(jf, root)
+    ds.images = ds.images[:1]  # 1 image < batch_size 2
+    cfg = DataConfig(
+        train_short_sides=(64, 96), max_size=160, test_short_side=96,
+        shape_buckets=((96, 128), (128, 160), (160, 224)), max_boxes=10,
+        num_workers=0,
+    )
+    tok = tiny_tokenizer()
+    it = iter(DataLoader(ds, tok, cfg, batch_size=2, train=True,
+                         max_text_len=32, max_categories=8))
+    b = next(it)
+    assert b["pixels"].shape[0] == 2
+
+    it2 = iter(DataLoader(CocoDataset.from_json(jf, root), tok, cfg,
+                          batch_size=2, train=True, max_text_len=32,
+                          max_categories=8, num_workers=2))
+    seen = [next(it2) for _ in range(3)]
+    assert all(s["pixels"].shape[0] == 2 for s in seen)

@@ -105,3 +105,27 @@ def test_convbn_merge_algebra():
 
     # branch re-zeroed
     assert np.allclose(np.asarray(merged_p["branch_kernel"]), 1e-8)
+
+
+def test_rep_merge_scale_resets_by_module():
+    """Scaling resets to the module's own init: 0.1 for dual adapters, 1.0
+    for the multilayer language adapter and GN conv modules."""
+    import jax.numpy as jnp
+
+    tree = {
+        "rep_linear_adapter": {
+            "freeze_kernel": jnp.zeros((2, 2)), "freeze_bias": jnp.zeros(2),
+            "branch_kernel": jnp.ones((2, 2)), "branch_bias": jnp.ones(2),
+            "scaling": jnp.asarray([0.5]),
+        },
+        "rep_language_adapter": {
+            "freeze_kernel": jnp.zeros((2, 2)), "freeze_bias": jnp.zeros(2),
+            "branch_kernel": jnp.ones((2, 2)), "branch_bias": jnp.ones(2),
+            "scaling": jnp.asarray([2.0]),
+        },
+    }
+    merged = rep_merge(tree)
+    assert float(merged["rep_linear_adapter"]["scaling"][0]) == pytest.approx(0.1)
+    assert float(merged["rep_language_adapter"]["scaling"][0]) == pytest.approx(1.0)
+    np.testing.assert_allclose(
+        np.asarray(merged["rep_language_adapter"]["freeze_kernel"]), 2.0)

@@ -164,18 +164,43 @@ class DataLoader:
             return self._train_iter()
         return self._eval_iter()
 
-    def _train_iter(self):
+    def _index_stream(self):
         n = len(self.ds)
         while True:
             order = self.rng.permutation(n)
-            for start in range(0, n - self.batch_size + 1, self.batch_size):
-                idxs = order[start : start + self.batch_size]
-                samples = [self._make_sample(int(i)) for i in idxs]
-                yield collate(
-                    samples, [self.caption] * len(samples), self.tokenizer,
-                    self.cfg, self.max_text_len, self.max_categories, train=True,
-                    transfer_uint8=self.transfer_uint8,
-                )
+            # datasets smaller than a batch (1-shot regimes) resample with
+            # replacement instead of starving the loop
+            if n < self.batch_size:
+                order = self.rng.randint(0, n, size=self.batch_size)
+            for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
+                yield order[start : start + self.batch_size]
+
+    def _train_iter(self):
+        make_batch = lambda idxs: collate(
+            [self._make_sample(int(i)) for i in idxs],
+            [self.caption] * len(idxs), self.tokenizer,
+            self.cfg, self.max_text_len, self.max_categories, train=True,
+            transfer_uint8=self.transfer_uint8,
+        )
+        if self.num_workers and self.num_workers > 0:
+            yield from self._prefetched(make_batch)
+            return
+        for idxs in self._index_stream():
+            yield make_batch(idxs)
+
+    def _prefetched(self, make_batch, depth: int = 4):
+        """Background prefetch: worker threads build batches ahead of the
+        training loop (the num_workers DataLoader equivalent,
+        `aquarium.py:61-66`). PIL/numpy release the GIL for the heavy parts."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        stream = self._index_stream()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = [pool.submit(make_batch, next(stream)) for _ in range(depth)]
+            while True:
+                fut = pending.pop(0)
+                pending.append(pool.submit(make_batch, next(stream)))
+                yield fut.result()
 
     def _eval_iter(self):
         n = len(self.ds)

@@ -355,9 +355,12 @@ class GroundingDINO(nn.Module):
                 {"pred_logits": c, "pred_boxes": b}
                 for c, b in zip(outputs_class[:-1], outputs_coord[:-1])
             ]
-            # encoder (two-stage) head outputs (`two_stage_criterion.py:19-100`)
+            # encoder (two-stage) head outputs (`two_stage_criterion.py:19-100`);
+            # computed with the ENC head (`groundingdino_dual_zero_rep_branch.py:
+            # 571`: transformer.enc_out_class_embed) so its params (when
+            # use_cls_linear makes it parametric) receive the `_enc` gradient
             out["interm_outputs"] = {
-                "pred_logits": class_embed(tr_out["hs_enc"], text_dict),
+                "pred_logits": enc_class_module(tr_out["hs_enc"], text_dict),
                 "pred_boxes": tr_out["ref_enc"],
             }
         out["adapter_losses"] = {

@@ -348,17 +348,28 @@ def is_rep_module(subtree) -> bool:
     )
 
 
-def rep_merge(params, zero_value: float = ZERO_VALUE):
+def default_scale_reset(path: str, sub) -> float:
+    """The reference's `__rep__` re-creates scaling at each MODULE's own init:
+    dual variant 0.1 (lan/vis, `:97-103,129-135`); multilayer variant 1.0 for
+    both the GN conv modules (`multilayer_branch.py:107-113`) and its
+    `rep_language_adapter` (`:116-146`)."""
+    if "freeze_gn_scale" in sub or "rep_language_adapter" in path:
+        return 1.0
+    return LAN_SCALE  # == VIS_SCALE == 0.1
+
+
+def rep_merge(params, zero_value: float = ZERO_VALUE, scale_reset=default_scale_reset):
     """Pure-function `__rep__()` over a whole param tree: for every RepZero
     module, ``freeze += scaling * branch``; branch re-zeroed to `zero_value`,
-    scaling reset to its init (the caller's optimizer state should be reset
-    alongside, as a new task starts). Returns a new tree.
+    scaling reset to the module's init via `scale_reset(path, subtree)` (the
+    caller's optimizer state should be reset alongside, as a new task
+    starts). Returns a new tree.
 
     Parity: `groundingdino_dual_zero_rep_branch.py:97-103,129-135` (the
     after_train hook applies it to every module, `:739-745`).
     """
 
-    def merge(sub):
+    def merge(sub, path):
         if is_rep_module(sub):
             s = sub["scaling"]
             new = dict(sub)
@@ -366,11 +377,7 @@ def rep_merge(params, zero_value: float = ZERO_VALUE):
             new["freeze_bias"] = sub["freeze_bias"] + s[0] * sub["branch_bias"]
             new["branch_kernel"] = jnp.full_like(sub["branch_kernel"], zero_value)
             new["branch_bias"] = jnp.full_like(sub["branch_bias"], zero_value)
-            # scaling resets to its init: 0.1 for the dual variant
-            # (`:97-103`), 1.0 for the multilayer/GN variant (`:107-113`);
-            # freeze_gn_* params (if any) are untouched, like the reference
-            reset = 1.0 if "freeze_gn_scale" in sub else LAN_SCALE
-            new["scaling"] = jnp.full_like(s, reset)
+            new["scaling"] = jnp.full_like(s, scale_reset(path, sub))
             return new
         if isinstance(sub, dict) and "free_linear1_kernel" in sub:
             # RepZeroTransformerLayer (`multilayer_branch.py:186-196`)
@@ -380,9 +387,12 @@ def rep_merge(params, zero_value: float = ZERO_VALUE):
                     fz, fr = f"freeze_linear{i}_{part}", f"free_linear{i}_{part}"
                     new[fz] = sub[fz] + sub[fr]
                     new[fr] = jnp.full_like(sub[fr], zero_value)
-            return {k: (merge(v) if isinstance(v, dict) else v) for k, v in new.items()}
+            return {
+                k: (merge(v, f"{path}/{k}") if isinstance(v, dict) else v)
+                for k, v in new.items()
+            }
         if isinstance(sub, dict):
-            return {k: merge(v) for k, v in sub.items()}
+            return {k: merge(v, f"{path}/{k}") for k, v in sub.items()}
         return sub
 
-    return merge(params)
+    return merge(params, "")

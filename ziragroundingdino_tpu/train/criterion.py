@@ -99,7 +99,7 @@ def set_criterion(
     tgt_labels: jnp.ndarray,  # [B, N] int32
     tgt_boxes: jnp.ndarray,  # [B, N, 4] cxcywh normalized
     tgt_valid: jnp.ndarray,  # [B, N] bool
-    matcher_impl: str = "auction",
+    matcher_impl: str = "jax",
     alpha: float = 0.25,
     gamma: float = 2.0,
 ) -> Dict[str, jnp.ndarray]:

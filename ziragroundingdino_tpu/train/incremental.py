@@ -261,13 +261,14 @@ def run_replay_phase(
             total = total + image_loss_fn(p, batch)
         return total
 
-    grad_fn = jax.jit(jax.value_and_grad(lambda p: loss_fn(p)))
+    grad_text = jax.jit(jax.value_and_grad(lambda p: loss_fn(p)))
+    grad_image = jax.jit(jax.value_and_grad(loss_fn))  # batch is a traced arg
     for it in range(iters):
         batch = image_batch_fn() if image_batch_fn is not None else None
         if batch is None:
-            total, grads = grad_fn(params)
+            total, grads = grad_text(params)
         else:
-            total, grads = jax.value_and_grad(lambda p: loss_fn(p, batch))(params)
+            total, grads = grad_image(params, batch)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if (it + 1) % 20 == 0 or it == 0:

@@ -114,25 +114,18 @@ def build_optimizer(
     factor = lr_factor_fn(cfg.lr_factors)
 
     def one_group(lr_mult: float) -> optax.GradientTransformation:
-        chain = [optax.clip_by_global_norm(cfg.grad_clip)] if cfg.grad_clip else []
         if cfg.name == "adamw":
-            chain.append(
-                optax.adamw(
-                    learning_rate=lambda step: cfg.lr * lr_mult * sched(step),
-                    b1=cfg.betas[0], b2=cfg.betas[1],
-                    weight_decay=cfg.weight_decay,
-                )
+            return optax.adamw(
+                learning_rate=lambda step: cfg.lr * lr_mult * sched(step),
+                b1=cfg.betas[0], b2=cfg.betas[1],
+                weight_decay=cfg.weight_decay,
             )
-        elif cfg.name == "sgd":
-            chain.append(
-                optax.chain(
-                    optax.add_decayed_weights(cfg.weight_decay),
-                    optax.sgd(lambda step: cfg.lr * lr_mult * sched(step), momentum=0.9),
-                )
+        if cfg.name == "sgd":
+            return optax.chain(
+                optax.add_decayed_weights(cfg.weight_decay),
+                optax.sgd(lambda step: cfg.lr * lr_mult * sched(step), momentum=0.9),
             )
-        else:
-            raise ValueError(cfg.name)
-        return optax.chain(*chain)
+        raise ValueError(cfg.name)
 
     # distinct lr-factor groups via multi_transform
     factors = sorted({1.0} | {
@@ -146,7 +139,13 @@ def build_optimizer(
         )
     transforms = {label_of[f]: one_group(f) for f in factors}
     transforms["frozen"] = optax.set_to_zero()
-    tx = optax.multi_transform(transforms, labels)
+    # grad clip over the GLOBAL norm (the reference clips the full-model norm
+    # once, `train_net.py:122-127`), BEFORE the per-group transforms
+    chain = []
+    if cfg.grad_clip:
+        chain.append(optax.clip_by_global_norm(cfg.grad_clip))
+    chain.append(optax.multi_transform(transforms, labels))
+    tx = optax.chain(*chain)
     if batch_size_scale > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=batch_size_scale)
     return tx

@@ -125,11 +125,10 @@ class Trainer:
             t1 = time.perf_counter()
             self.rng, sub = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, batch, sub)
+            t_data += t1 - t0  # accumulated EVERY iteration over the period
+            t_step += time.perf_counter() - t1
             if (it + 1) % cfg.log_period == 0 or it + 1 == max_iter:
                 metrics = jax.device_get(metrics)
-                t2 = time.perf_counter()
-                t_data += t1 - t0
-                t_step += t2 - t1
                 line = {
                     k: float(np.asarray(v)) for k, v in metrics.items()
                 }

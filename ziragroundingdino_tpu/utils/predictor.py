@@ -90,6 +90,13 @@ class Predictor:
         """Returns per image: {boxes [N,4] xyxy abs, scores [N], labels [N]}."""
         assert len(images) == len(class_lists)
         n = len(images)
+        max_b = self.batch_buckets[-1]
+        if n > max_b:  # split oversized requests across device calls
+            out: List[Dict[str, np.ndarray]] = []
+            for i in range(0, n, max_b):
+                out.extend(self(images[i : i + max_b], class_lists[i : i + max_b],
+                                score_threshold))
+            return out
         bsz = self._pad_batch(n)
 
         samples = []
