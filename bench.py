@@ -32,6 +32,9 @@ def main():
 
     from __graft_entry__ import _text_arrays
     from ziragroundingdino_tpu.models import build_model
+    from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     dev = jax.devices()[0]
     log("device:", dev, dev.platform)

@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--coco-root", default=None)
     ap.add_argument("--replay-iters", type=int, default=0,
                     help="optional text-replay phase length (MemoryReplayer)")
+    ap.add_argument("--mesh", default=None,
+                    help="'data[,model]' axis sizes for multi-chip runs, e.g. "
+                         "'8' (DP over 8 chips) or '4,2' (DP x TP); default: "
+                         "single device")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -67,6 +71,19 @@ def main():
     from ziragroundingdino_tpu.train.step import TrainState, make_train_step
     from ziragroundingdino_tpu.train.trainer import Trainer
     from ziragroundingdino_tpu.utils.inference import load_model
+
+    mesh = None
+    if args.mesh:
+        from ziragroundingdino_tpu.parallel.mesh import (
+            batch_sharding, make_mesh, param_sharding,
+        )
+
+        sizes = [int(x) for x in args.mesh.split(",")]
+        mesh = make_mesh(data=sizes[0], model=sizes[1] if len(sizes) > 1 else 1)
+        logging.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+        assert args.batch_size % mesh.shape["data"] == 0, (
+            f"--batch-size {args.batch_size} must be divisible by the data "
+            f"axis {mesh.shape['data']}")
 
     # remat the encoder in training: recompute activations in backward
     # instead of keeping the gathered MSDA tensors per layer (6x ~0.7GB/img)
@@ -109,9 +126,18 @@ def main():
             ScheduleConfig(max_iter=task.max_iter, milestones_frac=(0.4,), gamma=0.1),
             task_params, trainable=mask,
         )
+        if mesh is not None:
+            task_params = jax.device_put(task_params, param_sharding(task_params, mesh))
         state = TrainState(step=jnp.zeros((), jnp.int32), params=task_params,
                            opt_state=tx.init(task_params))
-        step = make_train_step(Wrap, tx)
+        base_step = make_train_step(Wrap, tx)
+        if mesh is None:
+            step = base_step
+        else:
+            def step(st, batch, rng):
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+                batch = jax.device_put(batch, batch_sharding(batch, mesh))
+                return base_step(st, batch, rng)
         tcfg = TrainConfig(
             output_dir=os.path.join(args.output_dir, task.name),
             max_iter=task.max_iter, log_period=20,

@@ -29,9 +29,16 @@ def make_mesh(
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        assert n % model == 0, (n, model)
+        if n % model:
+            raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    assert data * model == n, (data, model, n)
+    if data * model != n:
+        raise ValueError(
+            f"mesh {data}x{model} needs {data * model} devices but only {n} "
+            f"are visible ({[d.platform for d in devices[:4]]}...); for CPU "
+            "simulation set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "before jax initializes"
+        )
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, ("data", "model"))
 

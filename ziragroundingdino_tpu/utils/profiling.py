@@ -21,6 +21,21 @@ import jax
 logger = logging.getLogger("ziragroundingdino_tpu")
 
 
+def enable_compilation_cache(path: str = "/tmp/zgdino_jax_cache") -> None:
+    """Persistent XLA compilation cache: full-size GDINO-T compiles take
+    60-370 s on TPU; caching them across processes makes repeated bench/eval/
+    train invocations start in seconds. Safe to call multiple times."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # older jax: different knob names
+        logger.info("compilation cache unavailable: %s", e)
+
+
 @contextlib.contextmanager
 def device_timer(name: str, results: Optional[Dict[str, float]] = None):
     """Wall time of the block with a device sync at the end (the
