@@ -46,6 +46,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from PIL import Image
+    from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     from ziragroundingdino_tpu.utils.inference import (
         annotate,
         load_image,

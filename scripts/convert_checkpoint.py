@@ -29,6 +29,9 @@ def main():
 
     import jax
 
+    from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
+
     if args.cpu_only:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp

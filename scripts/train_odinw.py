@@ -51,6 +51,8 @@ def main():
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+    from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache
+    enable_compilation_cache()
     import numpy as np
     import jax
     import jax.numpy as jnp
