@@ -92,3 +92,21 @@ def test_fewshot_and_io(tmp_path):
     assert zio.load(str(tmp_path / "a.json")) == {"x": 1}
     zio.dump([1, 2], str(tmp_path / "b.pkl"))
     assert zio.load(str(tmp_path / "b.pkl")) == [1, 2]
+
+
+def test_learned_position_embedding():
+    import jax
+    import jax.numpy as jnp
+
+    from tests.common import tiny_config, tiny_image_batch, tiny_text_batch
+    from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
+
+    cfg = tiny_config(position_embedding="learned")
+    model = GroundingDINO(cfg=cfg)
+    pixels, mask = tiny_image_batch(b=1)
+    tb = tiny_text_batch(captions=("cat.dog.",))
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text)
+    assert "pos_row_embed" in v["params"] and v["params"]["pos_row_embed"].shape == (50, 32)
+    out = model.apply(v, jnp.asarray(pixels), jnp.asarray(mask), text)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()

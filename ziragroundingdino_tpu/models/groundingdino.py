@@ -253,6 +253,16 @@ class GroundingDINO(nn.Module):
         srcs, masks_lvl, poss = [], [], []
         loss_conv_adapter = jnp.zeros((), jnp.float32)
         num_backbone_outs = len(feats)
+        pos_learned = None
+        if cfg.position_embedding in ("v3", "learned"):
+            # `PositionEmbeddingLearned` (`position_encoding.py:137-171`);
+            # one table shared by all levels like the reference module
+            pos_learned = (
+                self.param("pos_row_embed", nn.initializers.uniform(1.0),
+                           (50, cfg.hidden_dim // 2)),
+                self.param("pos_col_embed", nn.initializers.uniform(1.0),
+                           (50, cfg.hidden_dim // 2)),
+            )
         for lvl in range(cfg.num_feature_levels):
             if lvl < num_backbone_outs:
                 feat, m = feats[lvl]
@@ -283,13 +293,22 @@ class GroundingDINO(nn.Module):
                 m_lvl = interpolate_mask_nearest(mask, src.shape[1], src.shape[2])
             srcs.append(src)
             masks_lvl.append(m_lvl)
-            poss.append(
-                position_embedding_sine_hw(
-                    m_lvl, num_pos_feats=cfg.hidden_dim // 2,
-                    temperature_h=cfg.pe_temperature_h,
-                    temperature_w=cfg.pe_temperature_w,
-                ).astype(cd)
-            )
+            if pos_learned is not None:
+                from ziragroundingdino_tpu.models.position_encoding import (
+                    position_embedding_learned,
+                )
+
+                poss.append(
+                    position_embedding_learned(m_lvl, *pos_learned).astype(cd)
+                )
+            else:
+                poss.append(
+                    position_embedding_sine_hw(
+                        m_lvl, num_pos_feats=cfg.hidden_dim // 2,
+                        temperature_h=cfg.pe_temperature_h,
+                        temperature_w=cfg.pe_temperature_w,
+                    ).astype(cd)
+                )
 
         # ------------------------------------------------ heads (params shared
         # with the transformer's enc heads per two_stage_*_share flags)

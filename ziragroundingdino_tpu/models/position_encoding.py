@@ -16,6 +16,29 @@ import math
 import jax.numpy as jnp
 
 
+def position_embedding_learned(
+    mask,  # [B, H, W] (shape source only)
+    row_embed,  # [50, F] learned table
+    col_embed,  # [50, F]
+):
+    """`PositionEmbeddingLearned` (`backbone/position_encoding.py:137-171`):
+    learned row/col embeddings concatenated per pixel. Returns
+    [B, H, W, 2F]."""
+    import jax.numpy as _jnp
+
+    b, h, w = mask.shape
+    x_emb = col_embed[:w]  # [W, F]
+    y_emb = row_embed[:h]  # [H, F]
+    pos = _jnp.concatenate(
+        [
+            _jnp.broadcast_to(x_emb[None, :, :], (h, w, x_emb.shape[-1])),
+            _jnp.broadcast_to(y_emb[:, None, :], (h, w, y_emb.shape[-1])),
+        ],
+        axis=-1,
+    )
+    return _jnp.broadcast_to(pos[None], (b, h, w, pos.shape[-1]))
+
+
 def position_embedding_sine_hw(
     mask: jnp.ndarray,  # [B, H, W] bool, True = valid
     num_pos_feats: int = 128,
