@@ -171,8 +171,18 @@ def main():
             max_iter=20 if args.fast_dev_run else tm.max_iter,
         )
         tasks.append(task)
+        chain_path = os.path.join(args.output_dir, task.name, "state_final")
+        if os.path.exists(chain_path):  # resume: skip completed tasks
+            from ziragroundingdino_tpu.train.incremental import load_incremental_state
+
+            logging.info("=== task %s already done; restoring ===", tm.name)
+            state = load_incremental_state(chain_path)
+            continue
         logging.info("=== task %s (%d classes) ===", tm.name, len(task.class_names))
         state = run_task(state, task, model, make_trainer, tokenizer)
+        from ziragroundingdino_tpu.train.incremental import save_incremental_state
+
+        save_incremental_state(chain_path, state)
 
     if args.replay_iters > 0:
         from ziragroundingdino_tpu.train.incremental import run_replay_phase

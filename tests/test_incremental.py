@@ -212,3 +212,22 @@ def test_replay_phase(setup):
     np.testing.assert_allclose(
         np.asarray(st2.params["rep_linear_adapter"]["branch_kernel"]).max(),
         1e-8, rtol=1e-3)
+
+
+def test_incremental_state_roundtrip(setup, tmp_path):
+    from ziragroundingdino_tpu.train.incremental import (
+        load_incremental_state, save_incremental_state,
+    )
+
+    cfg, model, params, batch = setup
+    tok = tiny_tokenizer()
+    pm = add_cls_prompt({}, cfg, params, tok, ["cat"], 32)
+    st = IncrementalState(params=jax.device_get(params), prompt_memory=pm,
+                          learned_classes=["cat"])
+    path = save_incremental_state(str(tmp_path / "state"), st)
+    st2 = load_incremental_state(path)
+    assert st2.learned_classes == ["cat"]
+    np.testing.assert_allclose(st2.prompt_memory["-cat-"], pm["-cat-"])
+    np.testing.assert_allclose(
+        np.asarray(st2.params["feat_map"]["kernel"]),
+        np.asarray(st.params["feat_map"]["kernel"]))

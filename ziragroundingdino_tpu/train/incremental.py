@@ -194,6 +194,49 @@ class IncrementalState:
     per_task_results: List[Dict] = field(default_factory=list)
 
 
+def save_incremental_state(path: str, state: IncrementalState) -> str:
+    """Persist {params, prompt_memory, learned_classes} — the reference's
+    task-chained model_final.pth incl. the prompt_memory_pool keys its
+    load_state_dict resurrects (`groundingdino_dual_zero_rep_branch.py:
+    700-711`)."""
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    payload = {"params": state.params}
+    if state.prompt_memory:
+        payload["prompt_memory"] = {k: np.asarray(v) for k, v in state.prompt_memory.items()}
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    with open(path + ".classes.json", "w") as f:
+        import json
+
+        json.dump(state.learned_classes, f)
+    return path
+
+
+def load_incremental_state(path: str) -> IncrementalState:
+    import json
+    import os
+
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path)
+    learned: List[str] = []
+    if os.path.exists(path + ".classes.json"):
+        with open(path + ".classes.json") as f:
+            learned = json.load(f)
+    return IncrementalState(
+        params=restored["params"],
+        prompt_memory=dict(restored.get("prompt_memory", {}) or {}),
+        learned_classes=learned,
+    )
+
+
 def run_task(
     state: IncrementalState,
     task: TaskSpec,
