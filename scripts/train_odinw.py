@@ -44,6 +44,15 @@ def main():
     ap.add_argument("--coco-root", default=None)
     ap.add_argument("--replay-iters", type=int, default=0,
                     help="optional text-replay phase length (MemoryReplayer)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="EMA decay for model weights (util/ema.py:36-90); "
+                         "0 disables")
+    ap.add_argument("--eval-ema", action="store_true",
+                    help="chain/eval the EMA weights instead of the raw "
+                         "params (util/ema.py:187-263, train_net.py:174-206)")
+    ap.add_argument("--force-resume", action="store_true",
+                    help="resume into an output dir stamped with different "
+                         "run args (default: abort)")
     ap.add_argument("--mesh", default=None,
                     help="'data[,model]' axis sizes for multi-chip runs, e.g. "
                          "'8' (DP over 8 chips) or '4,2' (DP x TP); default: "
@@ -51,6 +60,27 @@ def main():
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
+
+    # run-args stamp: a resumed run silently reusing chained state from a run
+    # with different args would corrupt the chain — validate before touching
+    # anything (ADVICE r1; reference has no equivalent guard)
+    stamp = {k: getattr(args, k) for k in (
+        "suite", "shot", "preset", "seed", "lr", "batch_size",
+        "softfreeze_factor", "shuffle", "ema_decay")}
+    os.makedirs(args.output_dir, exist_ok=True)
+    stamp_path = os.path.join(args.output_dir, "run_stamp.json")
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            prev = json.load(f)
+        diff = {k: (prev.get(k), v) for k, v in stamp.items() if prev.get(k) != v}
+        if diff and not args.force_resume:
+            raise SystemExit(
+                f"output dir {args.output_dir} was stamped with different run "
+                f"args: {diff}. Use a fresh --output-dir or --force-resume.")
+    else:
+        with open(stamp_path, "w") as f:
+            json.dump(stamp, f, indent=2)
+
     from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache
     enable_compilation_cache()
     import numpy as np
@@ -121,6 +151,8 @@ def main():
         return eval_fn
 
     def make_trainer(task_params, task):
+        from ziragroundingdino_tpu.train.trainer import latest_checkpoint
+
         mask = trainable_mask(task_params, ZIRA_TRAINABLE_PATTERNS, freeze_all=cfg.freeze_all)
         tx = build_optimizer(
             OptimizerConfig(lr=args.lr, grad_clip=0.1,
@@ -130,9 +162,11 @@ def main():
         )
         if mesh is not None:
             task_params = jax.device_put(task_params, param_sharding(task_params, mesh))
+        ema_decay = args.ema_decay if args.ema_decay > 0 else None
         state = TrainState(step=jnp.zeros((), jnp.int32), params=task_params,
-                           opt_state=tx.init(task_params))
-        base_step = make_train_step(Wrap, tx)
+                           opt_state=tx.init(task_params),
+                           ema_params=task_params if ema_decay else None)
+        base_step = make_train_step(Wrap, tx, ema_decay=ema_decay)
         if mesh is None:
             step = base_step
         else:
@@ -140,29 +174,48 @@ def main():
                 batch = {k: jnp.asarray(v) for k, v in batch.items()}
                 batch = jax.device_put(batch, batch_sharding(batch, mesh))
                 return base_step(st, batch, rng)
+        task_dir = os.path.join(args.output_dir, task.name)
+        # mid-task resume (`train_net.py:298-305`): fast-forward the data
+        # stream to the checkpointed iteration so the resumed run sees the
+        # same batches as an uninterrupted one
+        marker = latest_checkpoint(os.path.join(task_dir, "ckpt"))
+        start = int(os.path.basename(marker).split("_")[-1]) if marker else 0
+        if start:
+            logging.info("task %s: mid-task checkpoint at iter %d", task.name, start)
         tcfg = TrainConfig(
-            output_dir=os.path.join(args.output_dir, task.name),
+            output_dir=task_dir,
             max_iter=task.max_iter, log_period=20,
-            checkpoint_period=task.max_iter, fast_dev_run=args.fast_dev_run,
+            checkpoint_period=max(task.max_iter // 4, 1),
+            fast_dev_run=args.fast_dev_run,
         )
-        tr = Trainer(step, state, task.train_loader_fn(), tcfg)
-        return tr, lambda s: jax.device_get(s.params)
+        tr = Trainer(step, state, task.train_loader_fn(start_batch=start), tcfg)
+
+        def extract(s):
+            p = s.ema_params if (args.eval_ema and s.ema_params is not None) else s.params
+            return jax.device_get(p)
+
+        return tr, extract
 
     state = IncrementalState(params=lm.params["params"],
                              prompt_memory=dict(lm.prompt_memory))
     tasks = []
-    for tm in tasks_meta:
+    for ti, tm in enumerate(tasks_meta):
         ds_train = tm.load_train(filter_empty=False)
 
-        def loader_fn(ds=ds_train):
+        def loader_fn(start_batch=0, ds=ds_train, ti=ti):
+            # per-task RNG keyed on the task index: a resumed run that skips
+            # completed tasks draws the same caption augmentation as an
+            # uninterrupted one (ADVICE r1)
+            task_rng = np.random.RandomState((args.seed * 1000003 + ti) % 2**32)
             names = ds.category_names
             if cfg.use_add_names and cfg.use_learned_names:
                 names = augment_caption_with_learned_names(
-                    names, state.learned_classes, cfg.num_select_prompt, rng)
+                    names, state.learned_classes, cfg.num_select_prompt, task_rng)
             return iter(DataLoader(
                 ds, tokenizer, dcfg, batch_size=args.batch_size, train=True,
                 max_text_len=cfg.max_text_len, max_categories=cfg.max_categories,
-                caption=".".join(names) + ".",
+                caption=".".join(names) + ".", seed=args.seed + ti,
+                start_batch=start_batch,
             ))
 
         task = TaskSpec(

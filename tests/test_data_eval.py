@@ -236,3 +236,34 @@ def test_small_dataset_loader_and_prefetch(coco_dir):
                           max_categories=8, num_workers=2))
     seen = [next(it2) for _ in range(3)]
     assert all(s["pixels"].shape[0] == 2 for s in seen)
+
+
+def test_loader_deterministic_and_fast_forward(coco_dir):
+    """Augmentation is per-batch-seeded: the stream is identical across
+    num_workers settings (ADVICE r1), and start_batch=k reproduces batch k
+    of an uninterrupted run (mid-task resume)."""
+    jf, root = coco_dir
+    cfg = DataConfig(
+        train_short_sides=(64, 96), max_size=160, test_short_side=96,
+        shape_buckets=((96, 128), (128, 160), (160, 224)), max_boxes=10,
+    )
+    tok = tiny_tokenizer()
+
+    def stream(num_workers, start_batch=0, n=4):
+        ds = CocoDataset.from_json(jf, root)
+        it = iter(DataLoader(ds, tok, cfg, batch_size=2, train=True,
+                             max_text_len=32, max_categories=8, seed=7,
+                             num_workers=num_workers, start_batch=start_batch))
+        return [next(it) for _ in range(n)]
+
+    serial = stream(num_workers=0)
+    threaded = stream(num_workers=3)
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a["pixels"], b["pixels"])
+        np.testing.assert_array_equal(a["gt_boxes"], b["gt_boxes"])
+        np.testing.assert_array_equal(a["image_ids"], b["image_ids"])
+
+    resumed = stream(num_workers=0, start_batch=2, n=2)
+    for a, b in zip(serial[2:], resumed):
+        np.testing.assert_array_equal(a["pixels"], b["pixels"])
+        np.testing.assert_array_equal(a["image_ids"], b["image_ids"])

@@ -120,6 +120,68 @@ def test_train_step_updates_only_adapters(setup):
     assert max(moved) > 0.0
 
 
+def test_ema_update_and_eval_weights(setup):
+    """EMA tracking (`util/ema.py:36-90`) + the --eval-ema selection: EMA
+    leaves lag the raw update on trainable params and stay put on frozen."""
+    cfg, model, params, batch = setup
+    mask = trainable_mask(params["params"], ZIRA_TRAINABLE_PATTERNS, freeze_all=True)
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-2), ScheduleConfig(max_iter=10),
+        params["params"], trainable=mask,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params["params"],
+        opt_state=tx.init(params["params"]), ema_params=params["params"],
+    )
+
+    class Wrap:
+        cfg = model.cfg
+
+        @staticmethod
+        def apply(p, *a, **k):
+            return model.apply({"params": p}, *a, **k)
+
+    step = make_train_step(Wrap, tx, ema_decay=0.5, donate=False)
+    s1, _ = step(state, batch, jax.random.PRNGKey(3))
+
+    flat_old = dict(jax.tree_util.tree_leaves_with_path(params["params"]))
+    flat_new = dict(jax.tree_util.tree_leaves_with_path(s1.params))
+    flat_ema = dict(jax.tree_util.tree_leaves_with_path(s1.ema_params))
+    checked_lag = 0
+    for path, old in flat_old.items():
+        p = "/".join(str(getattr(x, "key", x)) for x in path)
+        new, ema = flat_new[path], flat_ema[path]
+        if "adapter" in p and float(jnp.max(jnp.abs(new - old))) > 1e-8:
+            # ema = 0.5*old + 0.5*new exactly after one step
+            np.testing.assert_allclose(
+                np.asarray(ema), 0.5 * np.asarray(old) + 0.5 * np.asarray(new),
+                rtol=1e-5, atol=1e-7)
+            checked_lag += 1
+        elif "adapter" not in p:
+            np.testing.assert_array_equal(np.asarray(ema), np.asarray(old))
+    assert checked_lag > 0
+
+
+def test_clip_norm_ignores_frozen_grads():
+    """The global-norm clip must see TRAINABLE leaves only (reference clips
+    requires_grad params, `train_net.py:144-150`): a huge gradient on a
+    frozen leaf must not shrink the trainable update."""
+    params = {"base_w": jnp.ones((4,)), "adapter_w": jnp.ones((4,))}
+    mask = trainable_mask(params, ZIRA_TRAINABLE_PATTERNS, freeze_all=True)
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-2, grad_clip=0.1), ScheduleConfig(max_iter=10),
+        params, trainable=mask,
+    )
+    opt = tx.init(params)
+    g_small = {"base_w": jnp.zeros((4,)), "adapter_w": jnp.full((4,), 0.5)}
+    g_huge = {"base_w": jnp.full((4,), 1e6), "adapter_w": jnp.full((4,), 0.5)}
+    u1, _ = tx.update(g_small, opt, params)
+    u2, _ = tx.update(g_huge, opt, params)
+    np.testing.assert_allclose(
+        np.asarray(u1["adapter_w"]), np.asarray(u2["adapter_w"]), rtol=1e-6)
+    assert float(jnp.max(jnp.abs(u2["base_w"]))) == 0.0
+
+
 def test_train_step_on_8dev_mesh(setup):
     """DP over the virtual 8-device CPU mesh (SURVEY §2.5): batch sharded on
     'data', params replicated; XLA inserts the gradient all-reduce."""

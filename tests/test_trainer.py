@@ -59,6 +59,37 @@ def test_train_checkpoint_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(tr2.state.opt_state["momentum"]), 1.0)
 
 
+def test_midtask_preemption_resume(tmp_path):
+    """Kill-and-restart mid-task: a crash between periodic checkpoints must
+    resume at the checkpointed iter+1 (`train_net.py:298-305`), not replay
+    the task from 0."""
+    cfg = TrainConfig(
+        output_dir=str(tmp_path), max_iter=10, checkpoint_period=2, log_period=5,
+    )
+    calls = {"n": 0}
+
+    def crashing_step(state, batch, rng):
+        if calls["n"] == 5:
+            raise RuntimeError("preempted")
+        calls["n"] += 1
+        return fake_step(state, batch, rng)
+
+    tr = Trainer(crashing_step, make_state(), fake_loader(), cfg)
+    try:
+        tr.train(0, 10)
+        raise AssertionError("expected preemption")
+    except RuntimeError:
+        pass
+    assert latest_checkpoint(str(tmp_path / "ckpt")).endswith("step_4")
+
+    tr2 = Trainer(fake_step, make_state(), fake_loader(), cfg)
+    start = tr2.resume_or_load()
+    assert start == 4
+    np.testing.assert_allclose(np.asarray(tr2.state.params["w"]), 4.0)
+    tr2.train(start, 10)
+    np.testing.assert_allclose(np.asarray(tr2.state.params["w"]), 10.0)
+
+
 def test_fast_dev_run(tmp_path):
     cfg = TrainConfig(output_dir=str(tmp_path), max_iter=1000, fast_dev_run=True,
                       checkpoint_period=1000, log_period=10)

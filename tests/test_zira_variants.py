@@ -107,6 +107,47 @@ def test_convbn_merge_algebra():
     assert np.allclose(np.asarray(merged_p["branch_kernel"]), 1e-8)
 
 
+def test_lora_algebra_and_model_wiring():
+    """RepZeroLoRA (`adapter.py:227-259`): train fwd = freeze(x) +
+    s*up(down(x)); merge folds s*(down@up) into freeze, re-zeroes the
+    factors, resets scaling; eval(merged) == train fwd pre-merge."""
+    from ziragroundingdino_tpu.models.zira import RepZeroLoRA
+
+    mod = RepZeroLoRA(features=8, down_dim=3)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 8), jnp.float32)
+    variables = mod.init(jax.random.PRNGKey(0), x, train=False)
+    rng = np.random.RandomState(1)
+    p = {
+        "freeze_kernel": rng.randn(8, 8).astype(np.float32) * 0.1,
+        "down_kernel": rng.randn(8, 3).astype(np.float32) * 0.1,
+        "up_kernel": rng.randn(3, 8).astype(np.float32) * 0.1,
+        "scaling": np.asarray([0.7], np.float32),
+    }
+    out_train, zil = mod.apply({"params": p}, x, train=True)
+    expect = x @ p["freeze_kernel"] + 0.7 * ((x @ p["down_kernel"]) @ p["up_kernel"])
+    np.testing.assert_allclose(np.asarray(out_train), np.asarray(expect), atol=1e-5)
+    assert float(zil) > 0.0
+
+    merged = rep_merge(p)
+    out_merged, zil0 = mod.apply({"params": merged}, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_merged), np.asarray(expect), atol=1e-5)
+    assert float(zil0) == 0.0
+    assert np.allclose(np.asarray(merged["down_kernel"]), 1e-8)
+    assert np.allclose(np.asarray(merged["up_kernel"]), 1e-8)
+    assert float(merged["scaling"][0]) == pytest.approx(0.1)
+
+    # preset knob wires it as the language adapter
+    cfg, model, variables, (pixels, mask, text) = build(
+        "dualzerorepbranchgroundingdino", zira_lan_adapter="lora",
+        zira_lora_down_dim=4,
+    )
+    pa = variables["params"]["rep_linear_adapter"]
+    assert "down_kernel" in pa and "up_kernel" in pa
+    out = model.apply(variables, pixels, mask, text, train=True)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    assert np.isfinite(float(out["adapter_losses"]["loss_linear_adapter"]))
+
+
 def test_rep_merge_scale_resets_by_module():
     """Scaling resets to the module's own init: 0.1 for dual adapters, 1.0
     for the multilayer language adapter and GN conv modules."""

@@ -156,6 +156,10 @@ class GroundingDINOConfig:
     zira_zero_init: float = 1e-8  # `groundingdino_dual_zero_rep_branch.py:62`
     zira_lan_scale: float = 0.1  # :63
     zira_vis_scale: float = 0.1  # :64
+    # language-side branch shape: "linear" (RepZeroLinear, `:243-249`) or
+    # "lora" (RepZeroLoRA low-rank alternative, `:251-253`, `adapter.py:227`)
+    zira_lan_adapter: str = "linear"
+    zira_lora_down_dim: Optional[int] = None  # None = in_features // 4
 
     # MoE (`moe.py:144`; configs default to 1 expert)
     num_experts: int = 1

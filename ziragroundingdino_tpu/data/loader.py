@@ -140,23 +140,29 @@ class DataLoader:
         num_workers: Optional[int] = None,
         caption: Optional[str] = None,
         transfer_uint8: bool = False,
+        start_batch: int = 0,
     ):
         self.ds = dataset
         self.tokenizer = tokenizer
         self.cfg = cfg
         self.batch_size = batch_size
         self.train = train
+        self.seed = seed
+        # self.rng drives the index stream ONLY (consumed serially from one
+        # generator); augmentation uses a per-batch RandomState derived from
+        # the batch counter so prefetch-worker scheduling can't affect it
         self.rng = np.random.RandomState(seed)
         self.max_text_len = max_text_len
         self.max_categories = max_categories
         self.num_workers = cfg.num_workers if num_workers is None else num_workers
         self.caption = caption if caption is not None else dataset.caption
         self.transfer_uint8 = transfer_uint8
+        self.start_batch = start_batch
 
-    def _make_sample(self, idx: int) -> Sample:
+    def _make_sample(self, idx: int, rng: Optional[np.random.RandomState] = None) -> Sample:
         s = self.ds.load_sample(idx)
         if self.train:
-            return train_transform(s, self.cfg, self.rng)
+            return train_transform(s, self.cfg, rng if rng is not None else self.rng)
         return eval_transform(s, self.cfg)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
@@ -176,30 +182,44 @@ class DataLoader:
                 yield order[start : start + self.batch_size]
 
     def _train_iter(self):
-        make_batch = lambda idxs: collate(
-            [self._make_sample(int(i)) for i in idxs],
-            [self.caption] * len(idxs), self.tokenizer,
-            self.cfg, self.max_text_len, self.max_categories, train=True,
-            transfer_uint8=self.transfer_uint8,
-        )
-        if self.num_workers and self.num_workers > 0:
-            yield from self._prefetched(make_batch)
-            return
-        for idxs in self._index_stream():
-            yield make_batch(idxs)
+        def make_batch(job):
+            bi, idxs = job
+            # deterministic per-batch augmentation RNG keyed on the batch
+            # counter: identical under any worker scheduling / num_workers
+            rng = np.random.RandomState((self.seed + 0x9E3779B1 * (bi + 1)) % (2**32))
+            return collate(
+                [self._make_sample(int(i), rng) for i in idxs],
+                [self.caption] * len(idxs), self.tokenizer,
+                self.cfg, self.max_text_len, self.max_categories, train=True,
+                transfer_uint8=self.transfer_uint8,
+            )
 
-    def _prefetched(self, make_batch, depth: int = 4):
+        jobs = enumerate(self._index_stream())
+        # mid-task resume (`train_net.py:298-305` resumes at iter+1): skip the
+        # first start_batch jobs cheaply — index draws only, no decode/augment
+        # — so the resumed stream matches an uninterrupted run exactly (index
+        # rng advances identically; per-batch aug rng is keyed on the counter)
+        for _ in range(self.start_batch):
+            next(jobs)
+        if self.num_workers and self.num_workers > 0:
+            yield from self._prefetched(make_batch, jobs)
+            return
+        for job in jobs:
+            yield make_batch(job)
+
+    def _prefetched(self, make_batch, jobs, depth: int = 4):
         """Background prefetch: worker threads build batches ahead of the
         training loop (the num_workers DataLoader equivalent,
-        `aquarium.py:61-66`). PIL/numpy release the GIL for the heavy parts."""
+        `aquarium.py:61-66`). PIL/numpy release the GIL for the heavy parts.
+        Results are yielded in submission order and each batch carries its own
+        RNG, so the output stream is deterministic for a fixed seed."""
         from concurrent.futures import ThreadPoolExecutor
 
-        stream = self._index_stream()
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            pending = [pool.submit(make_batch, next(stream)) for _ in range(depth)]
+            pending = [pool.submit(make_batch, next(jobs)) for _ in range(depth)]
             while True:
                 fut = pending.pop(0)
-                pending.append(pool.submit(make_batch, next(stream)))
+                pending.append(pool.submit(make_batch, next(jobs)))
                 yield fut.result()
 
     def _eval_iter(self):

@@ -39,6 +39,7 @@ from ziragroundingdino_tpu.models.zira import (
     RepZeroConv,
     RepZeroConvGN,
     RepZeroLinear,
+    RepZeroLoRA,
     ZeroConvBN,
 )
 
@@ -55,6 +56,14 @@ def _language_adapter(cfg, cd):
     """ZiRa language-side module by variant; None when the variant has no
     language branch (single-branch repconv models)."""
     if cfg.modelname == "dualzerorepbranchgroundingdino":
+        if cfg.zira_lan_adapter == "lora":
+            # low-rank alternative (`groundingdino_dual_zero_rep_branch.py:
+            # 251-253` -> `adapter.py:227-259`)
+            return RepZeroLoRA(
+                features=cfg.hidden_dim, down_dim=cfg.zira_lora_down_dim,
+                scale_init=cfg.zira_lan_scale, zero_value=cfg.zira_zero_init,
+                dtype=cd, name="rep_linear_adapter",
+            )
         return RepZeroLinear(
             features=cfg.hidden_dim, scale_init=cfg.zira_lan_scale,
             zero_value=cfg.zira_zero_init, dtype=cd, name="rep_linear_adapter",

@@ -23,12 +23,17 @@ def position_embedding_learned(
 ):
     """`PositionEmbeddingLearned` (`backbone/position_encoding.py:137-171`):
     learned row/col embeddings concatenated per pixel. Returns
-    [B, H, W, 2F]."""
+    [B, H, W, 2F].
+
+    The reference table has 50 rows (the DETR limit) and indexes it with
+    arange(h), failing beyond 50; here indices are clamped to the table so
+    the variant works at production sizes (the stride-8 level of an 800px
+    input is 100x152) — positions past the table share its last entry."""
     import jax.numpy as _jnp
 
     b, h, w = mask.shape
-    x_emb = col_embed[:w]  # [W, F]
-    y_emb = row_embed[:h]  # [H, F]
+    x_emb = col_embed[_jnp.clip(_jnp.arange(w), 0, col_embed.shape[0] - 1)]  # [W, F]
+    y_emb = row_embed[_jnp.clip(_jnp.arange(h), 0, row_embed.shape[0] - 1)]  # [H, F]
     pos = _jnp.concatenate(
         [
             _jnp.broadcast_to(x_emb[None, :, :], (h, w, x_emb.shape[-1])),

@@ -81,6 +81,45 @@ class RepZeroLinear(nn.Module):
         return out, loss(branch_out) + loss(out)
 
 
+class RepZeroLoRA(nn.Module):
+    """Low-rank dual branch (`adapter.py:227-259`): trainable branch =
+    scaling * up(down(x)) with up/down init 1e-8, PLUS a zero-init bias-free
+    freeze linear accumulating merged deltas. The reference offers this as
+    the alternative `rep_linear_adapter` (`groundingdino_dual_zero_rep_
+    branch.py:251-253`); merge is ``freeze += scaling * (up @ down)``
+    (`adapter.py:255-259`). Eval forward: freeze branch only."""
+
+    features: int
+    down_dim: Optional[int] = None  # reference default: in_features // 4
+    scale_init: float = LAN_SCALE
+    zero_value: float = ZERO_VALUE
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        d = x.shape[-1]
+        dd = self.down_dim or d // 4
+        cd = self.dtype or x.dtype
+        freeze_k = self.param("freeze_kernel", nn.initializers.zeros, (d, self.features))
+        down_k = self.param(
+            "down_kernel", nn.initializers.constant(self.zero_value), (d, dd)
+        )
+        up_k = self.param(
+            "up_kernel", nn.initializers.constant(self.zero_value), (dd, self.features)
+        )
+        scaling = self.param("scaling", nn.initializers.constant(self.scale_init), (1,))
+
+        out_freeze = jnp.dot(x.astype(cd), freeze_k.astype(cd))
+        if not train:
+            return out_freeze, jnp.zeros((), jnp.float32)
+
+        branch_out = scaling.astype(cd) * jnp.dot(
+            jnp.dot(x.astype(cd), down_k.astype(cd)), up_k.astype(cd)
+        )
+        out = branch_out + out_freeze
+        return out, smooth_l1_to_zero(branch_out) + smooth_l1_to_zero(out)
+
+
 class RepZeroConv(nn.Module):
     """Conv version (NHWC). kernel_size 1 (stride 1) or 3 (stride 2, pad 1)
     mirroring the two input_proj shapes (`:290-305`)."""
@@ -370,6 +409,19 @@ def rep_merge(params, zero_value: float = ZERO_VALUE, scale_reset=default_scale_
     """
 
     def merge(sub, path):
+        if isinstance(sub, dict) and "down_kernel" in sub and "up_kernel" in sub \
+                and "freeze_kernel" in sub and "scaling" in sub:
+            # RepZeroLoRA `__rep__` (`adapter.py:255-259`): low-rank product
+            # folded into freeze, factors re-zeroed, scaling reset to init
+            s = sub["scaling"]
+            new = dict(sub)
+            new["freeze_kernel"] = sub["freeze_kernel"] + s[0] * jnp.dot(
+                sub["down_kernel"], sub["up_kernel"]
+            )
+            new["down_kernel"] = jnp.full_like(sub["down_kernel"], zero_value)
+            new["up_kernel"] = jnp.full_like(sub["up_kernel"], zero_value)
+            new["scaling"] = jnp.full_like(s, LAN_SCALE)
+            return new
         if is_rep_module(sub):
             s = sub["scaling"]
             new = dict(sub)

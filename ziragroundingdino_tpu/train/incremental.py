@@ -245,9 +245,14 @@ def run_task(
     tokenizer: WordPieceTokenizer,
 ) -> IncrementalState:
     """One incremental step: train on the task with frozen base, then merge
-    side branches and capture prompts."""
+    side branches and capture prompts. Resumes from the task's last mid-task
+    checkpoint when one exists (`train_net.py:298-305` resume-at-iter+1);
+    the driver's loader fast-forward keeps the data stream aligned."""
     trainer, extract = make_trainer(state.params, task)
-    trainer.train(0, task.max_iter)
+    start = trainer.resume_or_load()
+    if start:
+        logger.info("task %s: resuming at iter %d", task.name, start)
+    trainer.train(start, task.max_iter)
     params = extract(trainer.state)
 
     # after_train hooks (`train_multidatasets.py:221-246`)

@@ -12,9 +12,9 @@ Capability parity:
     cosine/linear/constant factories of `common_schedule.py:15-184`
   * trainable-subset selection replacing `before_train` freeze/unfreeze
     (`groundingdino_dual_zero_rep_branch.py:722-737`): the frozen base is
-    simply masked out of the optimizer — gradients for frozen leaves are
-    never materialized (TPU-side win over the reference, which computes
-    then discards them)
+    masked out of the optimizer: frozen-leaf grads are zeroed at the head
+    of the optax chain — BEFORE the global-norm clip, so the clip norm
+    matches the reference's trainable-only norm (`train_net.py:144-150`)
   * grad accumulation `batch_size_scale` via optax.MultiSteps
     (`train_net.py:128-140`)
   * EMA — `util/ema.py:36-263`.
@@ -139,9 +139,14 @@ def build_optimizer(
         )
     transforms = {label_of[f]: one_group(f) for f in factors}
     transforms["frozen"] = optax.set_to_zero()
-    # grad clip over the GLOBAL norm (the reference clips the full-model norm
-    # once, `train_net.py:122-127`), BEFORE the per-group transforms
+    # grad clip over the GLOBAL norm of TRAINABLE leaves only: the reference
+    # builds the optimizer from requires_grad params and clips that set
+    # (`train_net.py:144-150`), so frozen-base gradients must not inflate the
+    # clip norm. Zero them BEFORE clip_by_global_norm.
     chain = []
+    if trainable is not None:
+        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
+        chain.append(optax.masked(optax.set_to_zero(), frozen))
     if cfg.grad_clip:
         chain.append(optax.clip_by_global_norm(cfg.grad_clip))
     chain.append(optax.multi_transform(transforms, labels))

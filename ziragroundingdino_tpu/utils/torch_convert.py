@@ -117,6 +117,11 @@ _ln_rules(r"bert\.encoder\.layer\.(\d+)\.attention\.output\.LayerNorm",
 _ln_rules(r"bert\.encoder\.layer\.(\d+)\.output\.LayerNorm", r"bert/layer_\1/output_norm")
 _rule(r"bert\.pooler\..*$", "<drop>")  # frozen + unused (`groundingdino.py:118-121`)
 
+# ---- learned position embedding (`backbone/position_encoding.py:137-171`,
+# registered as backbone.1 by the Joiner) — [50, F] tables, no transpose ----
+_rule(r"backbone\.1\.row_embed\.weight$", "pos_row_embed")
+_rule(r"backbone\.1\.col_embed\.weight$", "pos_col_embed")
+
 # ---- text/input projections ------------------------------------------------
 _lin_rules(r"feat_map", "feat_map")
 _rule(r"input_proj\.(\d+)\.0\.weight$", r"input_proj_\1/conv/kernel", _conv)
@@ -130,6 +135,9 @@ for ln in ("rep_linear_adapter", "rep_language_adapter"):
     _rule(rf"{ln}\.scaling$", f"{ln}/scaling")
     _rule(rf"{ln}\.freeze_linear\.weight$", f"{ln}/freeze_kernel", _t)
     _rule(rf"{ln}\.freeze_linear\.bias$", f"{ln}/freeze_bias")
+    # RepZeroLoRA factors (`adapter.py:227-259`, bias-free)
+    _rule(rf"{ln}\.down\.weight$", f"{ln}/down_kernel", _t)
+    _rule(rf"{ln}\.up\.weight$", f"{ln}/up_kernel", _t)
 # multilayer variant's freeze GN (`multilayer_branch.py:83`)
 _rule(r"input_proj_conv_adapter\.(\d+)\.freeze_gn\.weight$",
       r"input_proj_conv_adapter_\1/freeze_gn_scale")
