@@ -249,6 +249,11 @@ for lin in ("linear1", "linear2"):
     _lin_rules(rf"transformer\.decoder\.layers\.(\d+)\.{lin}",
                rf"transformer/decoder/layers_\1/{lin}")
 _ln_rules(r"transformer\.decoder\.norm", "transformer/decoder/norm")
+# iter_update aliases the shared heads onto the decoder
+# (`groundingdino.py:181-200`: decoder.bbox_embed = self.bbox_embed), so the
+# state_dict carries the same tensors twice — canonical copy is bbox_embed.0
+_rule(r"transformer\.decoder\.bbox_embed\..*$", "<drop>")
+_rule(r"transformer\.decoder\.class_embed\..*$", "<drop>")
 for j in range(2):
     _lin_rules(rf"transformer\.decoder\.ref_point_head\.layers\.{j}",
                rf"transformer/decoder/ref_point_head/layers_{j}")
