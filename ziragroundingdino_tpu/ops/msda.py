@@ -31,6 +31,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def _level_splits(spatial_shapes: Sequence[Tuple[int, int]]) -> Tuple[int, ...]:
@@ -38,29 +39,17 @@ def _level_splits(spatial_shapes: Sequence[Tuple[int, int]]) -> Tuple[int, ...]:
     return sizes
 
 
-def ms_deform_attn_xla_quad(
+def _quad_prep(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
     sampling_locations: jnp.ndarray,
     attention_weights: jnp.ndarray,
-    q_chunk: int = 4096,
-) -> jnp.ndarray:
-    """Quad-packed MSDA — the TPU fast path (numerics identical to
-    `ms_deform_attn_xla`).
+):
+    """Shared prep for the quad-packed formulations: builds the flat quad
+    table, per-sample global row indices, and 128-lane-expanded weights.
 
-    XLA's TPU gather costs ~constant time per gathered ROW (~10 ns measured
-    on v5e), independent of row width up to a tile. The naive formulation
-    gathers 4 corner rows per sample: B*H*Q*L*P*4 rows. Here each level's
-    value map is re-packed once into a "quad" table
-    ``quad[y+1, x+1] = (V[y,x], V[y,x+1], V[y+1,x], V[y+1,x+1])`` (zero
-    padded border) so one gathered row of 4*D channels carries the whole
-    bilinear footprint -> 4x fewer rows for a 4x wider row, plus one cheap
-    elementwise repack per call. Per-corner validity masks on the weights
-    keep `padding_mode='zeros'` semantics exact even for clamped
-    out-of-range samples.
-
-    The gather+reduce runs in Q chunks under `lax.scan` to bound the
-    gathered temporary (full-Q materialization OOMs at encoder scale).
+    Returns (quad_table [B*H*Sq, 4D], idx [B,Q,H,K] global rows,
+    w_wide [B,Q,H,K,4D] lane-aligned weights, sq).
     """
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
@@ -69,7 +58,6 @@ def ms_deform_attn_xla_quad(
 
     value_bh = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
 
-    # ---- build the flat quad table + per-sample indices/weights
     quads = []
     idx_parts = []  # [B, Q, H, P] each
     wts_parts = []  # [B, Q, H, P, 4]
@@ -111,54 +99,119 @@ def ms_deform_attn_xla_quad(
             corner_ws.append(jnp.where(valid, w, 0.0) * attn)
         wts_parts.append(jnp.stack(corner_ws, axis=-1))  # [B,Q,H,P,4]
 
-    # flat 2D table [(B*H*Sq), 4D]: a plain single-axis `take` hits XLA:TPU's
-    # fast gather path (~170 rows/us for 128-lane bf16 rows, measured);
+    # flat 2D table [(B*H*Sq), 4D]: a plain single-axis gather hits XLA:TPU's
+    # fast gather path (~500 rows/us measured for 128-lane bf16 rows);
     # batched take_along_axis is ~4x slower for identical bytes
     sq = quad_start
     quad_table = jnp.concatenate(quads, axis=2).reshape(B * H * sq, 4 * D)
     k = L * P
     idx = jnp.stack(idx_parts, axis=3).reshape(B, Q, H, k)  # [B,Q,H,K]
-    # NOTE on layouts: wts as [..., K, 4] tile-pads 32x (4-lane last dim) —
-    # a transient cost per layer that remat keeps bounded in training; the
-    # "clean" [..., K*4]-with-in-chunk-broadcast alternative measured 15x
-    # slower forward (Mosaic handles the broadcast+reshape badly), so the
-    # compact-lane layout stays.
     wts = jnp.stack(wts_parts, axis=3).reshape(B, Q, H, k, 4)
     wts = wts.astype(compute_dtype)
 
+    # Lane-expand the 4 corner weights to the gathered row's 4*D lanes via a
+    # constant one-hot matmul E[c, c*D+d] = 1 on the MXU. A VPU lane-broadcast
+    # (jnp.repeat / reshape of (4, D) sublanes) measured ~13 ms per encoder
+    # layer on v5e — the lane shuffle, not the gather, was the round-1
+    # bottleneck; the MXU expansion is ~free and keeps every downstream op
+    # 128-lane aligned.
+    expand_np = np.zeros((4, 4 * D), np.float32)
+    for c in range(4):
+        expand_np[c, c * D:(c + 1) * D] = 1.0
+    expand = jnp.asarray(expand_np, compute_dtype)
+    w_wide = jnp.dot(
+        wts.reshape(-1, 4), expand, preferred_element_type=compute_dtype
+    ).reshape(B, Q, H, k, 4 * D)
+
     bh_base = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]) * sq  # [B,H]
     idx_flat = idx + bh_base[:, None, :, None]  # [B, Q, H, K] global rows
+    return quad_table, idx_flat, w_wide, sq
 
-    qc = min(Q, q_chunk)
-    n_chunks = -(-Q // qc)
-    q_pad = n_chunks * qc - Q
-    if q_pad:
-        idx_flat = jnp.pad(idx_flat, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
-        wts = jnp.pad(wts, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
-    idx_c = idx_flat.reshape(B, n_chunks, qc, H, k).transpose(1, 0, 2, 3, 4)
-    wts_c = wts.reshape(B, n_chunks, qc, H, k, 4).transpose(1, 0, 2, 3, 4, 5)
 
-    gather_dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+_GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
+)
+
+
+def ms_deform_attn_xla_quad(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+    q_chunk: int = 0,
+) -> jnp.ndarray:
+    """Quad-packed MSDA — the TPU fast path (numerics identical to
+    `ms_deform_attn_xla` up to f32 summation order).
+
+    Each level's value map is re-packed once into a "quad" table
+    ``quad[y+1, x+1] = (V[y,x], V[y,x+1], V[y+1,x], V[y+1,x+1])`` (zero
+    padded border) so one gathered row of 4*D channels carries the whole
+    bilinear footprint -> 4x fewer gathered rows. Per-corner validity masks
+    on the weights keep `padding_mode='zeros'` semantics exact even for
+    clamped out-of-range samples.
+
+    The weighted reduction stays in the gathered row's native 4*D-lane
+    layout: weights are lane-expanded on the MXU (see `_quad_prep`), the
+    K = L*P sample axis is f32-sum-reduced per row, and the 4-corner fold
+    happens once on the small [B,Q,H,4D] output — measured ~6 ms per encoder
+    layer on v5e vs ~18 ms for the round-1 [...,K,4,D]-layout reduce.
+
+    q_chunk > 0 bounds the gathered temporary (B*H*qc*K*4D elements) via a
+    `lax.scan` over Q chunks — used under training remat; inference runs
+    unchunked (q_chunk=0).
+    """
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = sampling_locations.shape
+    compute_dtype = value.dtype
+    quad_table, idx_flat, w_wide, sq = _quad_prep(
+        value, spatial_shapes, sampling_locations, attention_weights
     )
+    k = L * P
 
-    def chunk(_, iw):
-        ci, cw = iw  # [B,qc,H,K], [B,qc,H,K,4]
+    def weighted_gather(table, ci, cw, b, qn):
+        # table [b*H*sq, 4D], ci [b,qn,H,K] rows into table, cw [b,qn,H,K,4D]
         g = jax.lax.gather(
-            quad_table, ci.reshape(-1, 1), gather_dnums,
+            table, ci.reshape(-1, 1), _GATHER_DNUMS,
             slice_sizes=(1, 4 * D),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        ).reshape(B, qc, H, k, 4, D)
-        # multiply in the input dtype, single fused f32-accumulating reduce
-        # over (points*levels, corners) — measured fastest on v5e (einsum
-        # with preferred f32 makes XLA materialize an f32 copy of g)
-        o = jnp.sum(g * cw[..., None], axis=(3, 4), dtype=jnp.float32)
-        return None, o
+        ).reshape(b, qn, H, k, 4 * D)
+        return jnp.sum(g * cw, axis=3, dtype=jnp.float32)  # [b,qn,H,4D]
 
-    _, out = jax.lax.scan(chunk, None, (idx_c, wts_c))  # [Nc, B, qc, H, D]
-    out = out.transpose(1, 0, 2, 3, 4).reshape(B, n_chunks * qc, H, D)
-    if q_pad:
-        out = out[:, :Q]
+    if q_chunk and q_chunk < Q:
+        qc = q_chunk
+        n_chunks = -(-Q // qc)
+        q_pad = n_chunks * qc - Q
+        if q_pad:
+            idx_flat = jnp.pad(idx_flat, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
+            w_wide = jnp.pad(w_wide, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
+        idx_c = idx_flat.reshape(B, n_chunks, qc, H, k).transpose(1, 0, 2, 3, 4)
+        wts_c = w_wide.reshape(B, n_chunks, qc, H, k, 4 * D).transpose(1, 0, 2, 3, 4, 5)
+
+        def chunk(_, iw):
+            ci, cw = iw
+            return None, weighted_gather(quad_table, ci, cw, B, qc)
+
+        _, out = jax.lax.scan(chunk, None, (idx_c, wts_c))  # [Nc, B, qc, H, 4D]
+        out = out.transpose(1, 0, 2, 3, 4).reshape(B, n_chunks * qc, H, 4 * D)
+        if q_pad:
+            out = out[:, :Q]
+    elif B > 1:
+        # Per-image gathers: one big gather over the batch-flattened table
+        # drops to ~150 rows/us once the table exceeds ~100 MB, while
+        # per-43MB-table gathers hold ~400 rows/us (v5e, measured) — the
+        # round-1 "throughput anti-monotone in batch size" came from here.
+        table_b = quad_table.reshape(B, H * sq, 4 * D)
+        idx_b = idx_flat - (jnp.arange(B, dtype=idx_flat.dtype) * (H * sq))[:, None, None, None]
+
+        def per_img(_, tiw):
+            tb, ci, cw = tiw
+            return None, weighted_gather(tb, ci[None], cw[None], 1, Q)[0]
+
+        _, out = jax.lax.scan(per_img, None, (table_b, idx_b, w_wide))  # [B,Q,H,4D]
+    else:
+        out = weighted_gather(quad_table, idx_flat, w_wide, B, Q)  # [B,Q,H,4D]
+
+    out = out.reshape(B, Q, H, 4, D).sum(3)  # corner fold on the small output
     return out.reshape(B, Q, H * D).astype(compute_dtype)
 
 
