@@ -2,12 +2,18 @@
 
 Runs on whatever accelerator jax exposes (one TPU chip under the driver).
 Prints exactly ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
 
-The reference publishes no numbers (BASELINE.md); `vs_baseline` is computed
-against the commonly-measured A100 PyTorch eager GroundingDINO-T inference
-rate of ~8 img/s at the 800px eval resolution (the reference's eval loop logs
-s/img, `evaluation/evaluator.py:126-151`). Override with A100_BASELINE_IPS.
+Baseline provenance (the reference publishes no numbers, BASELINE.md):
+`vs_baseline` divides by an ASSUMED A100 PyTorch eager GroundingDINO-T rate
+of 8 img/s at the 800px eval resolution (the reference's eval loop logs
+s/img, `evaluation/evaluator.py:126-151`, but ships no measurement). The
+nearest published anchor is the YOLO-World paper (CVPR 2024, Table 1),
+which measures Grounding-DINO-T at 1.5 FPS on a V100 (eager, 800px); an
+A100 is typically 2-3x a V100 on this workload, bracketing the true eager
+A100 rate at roughly 3-5 img/s. The 8 img/s denominator is therefore
+CONSERVATIVE (it overstates the baseline and understates `vs_baseline`).
+Override with A100_BASELINE_IPS to re-anchor.
 """
 
 from __future__ import annotations
@@ -105,6 +111,10 @@ def main():
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+        "baseline_note": (
+            f"assumed A100 eager rate {A100_BASELINE_IPS} img/s (conservative; "
+            "published anchor: 1.5 FPS on V100, YOLO-World CVPR'24 Tab.1)"
+        ),
     }))
 
 

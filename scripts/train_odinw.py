@@ -170,9 +170,16 @@ def main():
         if mesh is None:
             step = base_step
         else:
+            from ziragroundingdino_tpu.parallel.multihost import (
+                global_batch_from_local,
+            )
+
             def step(st, batch, rng):
-                batch = {k: jnp.asarray(v) for k, v in batch.items()}
-                batch = jax.device_put(batch, batch_sharding(batch, mesh))
+                # per-host shard -> global data-sharded array; on one process
+                # this degenerates to device_put(batch_sharding) (the loader
+                # yields this process's shard of the global batch — see
+                # shard_indices_for_process)
+                batch = global_batch_from_local(batch, mesh)
                 return base_step(st, batch, rng)
         task_dir = os.path.join(args.output_dir, task.name)
         # mid-task resume (`train_net.py:298-305`): fast-forward the data

@@ -61,17 +61,25 @@ def collate(
     max_categories: int = 90,
     train: bool = True,
     transfer_uint8: bool = False,
+    force_bucket: Optional[Tuple[int, int]] = None,
 ) -> Dict[str, np.ndarray]:
     """Build the fixed-shape batch dict consumed by train/eval steps.
 
     transfer_uint8=True ships raw uint8 pixels (4x less host->device traffic)
     and defers normalization to the device — the model/step normalizes when
     it sees uint8 input (padded region re-zeroed via the mask, matching the
-    reference's normalize-then-pad order)."""
-    # shared bucket: the largest per-image bucket in the batch
-    buckets = [pick_bucket(s.image.shape[0], s.image.shape[1], cfg.shape_buckets) for s in samples]
-    bh = max(b[0] for b in buckets)
-    bw = max(b[1] for b in buckets)
+    reference's normalize-then-pad order).
+
+    force_bucket pins the pad target — required under multi-host sharding,
+    where every process must produce identically-shaped local shards of the
+    global batch without seeing the other hosts' samples."""
+    if force_bucket is not None:
+        bh, bw = force_bucket
+    else:
+        # shared bucket: the largest per-image bucket in the batch
+        buckets = [pick_bucket(s.image.shape[0], s.image.shape[1], cfg.shape_buckets) for s in samples]
+        bh = max(b[0] for b in buckets)
+        bw = max(b[1] for b in buckets)
 
     b = len(samples)
     pixels = np.zeros((b, bh, bw, 3), np.uint8 if transfer_uint8 else np.float32)
@@ -141,7 +149,23 @@ class DataLoader:
         caption: Optional[str] = None,
         transfer_uint8: bool = False,
         start_batch: int = 0,
+        shard_rank: Optional[int] = None,
+        shard_count: Optional[int] = None,
     ):
+        # multi-host: batch_size is the GLOBAL batch; this loader yields this
+        # process's contiguous sub-slice of every global batch (equal-shape
+        # shards for jax.make_array_from_process_local_data). Defaults come
+        # from the jax runtime so single-process runs are unaffected.
+        if shard_rank is None or shard_count is None:
+            import jax
+
+            shard_rank = jax.process_index() if shard_rank is None else shard_rank
+            shard_count = jax.process_count() if shard_count is None else shard_count
+        if batch_size % shard_count:
+            raise ValueError(
+                f"global batch {batch_size} not divisible by {shard_count} processes"
+            )
+        self.shard_rank, self.shard_count = shard_rank, shard_count
         self.ds = dataset
         self.tokenizer = tokenizer
         self.cfg = cfg
@@ -171,7 +195,13 @@ class DataLoader:
         return self._eval_iter()
 
     def _index_stream(self):
+        """Global-batch index stream; under multi-host sharding each process
+        draws the SAME permutation (seeded rng) and takes its contiguous
+        sub-slice of every global batch (torch DistributedSampler semantics,
+        `util/misc.py:577-635` + per-rank DataLoader in the reference)."""
         n = len(self.ds)
+        local = self.batch_size // self.shard_count
+        lo, hi = self.shard_rank * local, (self.shard_rank + 1) * local
         while True:
             order = self.rng.permutation(n)
             # datasets smaller than a batch (1-shot regimes) resample with
@@ -179,7 +209,7 @@ class DataLoader:
             if n < self.batch_size:
                 order = self.rng.randint(0, n, size=self.batch_size)
             for start in range(0, len(order) - self.batch_size + 1, self.batch_size):
-                yield order[start : start + self.batch_size]
+                yield order[start + lo : start + hi]
 
     def _train_iter(self):
         def make_batch(job):
@@ -192,6 +222,11 @@ class DataLoader:
                 [self.caption] * len(idxs), self.tokenizer,
                 self.cfg, self.max_text_len, self.max_categories, train=True,
                 transfer_uint8=self.transfer_uint8,
+                # all hosts must produce identically-shaped local shards
+                # without seeing each other's samples: pin the pad target
+                force_bucket=(
+                    self.cfg.shape_buckets[-1] if self.shard_count > 1 else None
+                ),
             )
 
         jobs = enumerate(self._index_stream())

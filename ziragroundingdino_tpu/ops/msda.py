@@ -39,31 +39,19 @@ def _level_splits(spatial_shapes: Sequence[Tuple[int, int]]) -> Tuple[int, ...]:
     return sizes
 
 
-def _quad_prep(
-    value: jnp.ndarray,
-    spatial_shapes: Sequence[Tuple[int, int]],
-    sampling_locations: jnp.ndarray,
-    attention_weights: jnp.ndarray,
-):
-    """Shared prep for the quad-packed formulations: builds the flat quad
-    table, per-sample global row indices, and 128-lane-expanded weights.
+def _quad_sizes(spatial_shapes) -> Tuple[int, ...]:
+    return tuple((int(h) + 1) * (int(w) + 1) for h, w in spatial_shapes)
 
-    Returns (quad_table [B*H*Sq, 4D], idx [B,Q,H,K] global rows,
-    w_wide [B,Q,H,K,4D] lane-aligned weights, sq).
-    """
+
+def _quad_table_build(value: jnp.ndarray, spatial_shapes):
+    """Re-pack each level's value map into the flat quad table
+    ``quad[y+1, x+1] = (V[y,x], V[y,x+1], V[y+1,x], V[y+1,x+1])`` (zero
+    padded border). Returns ([B*H*Sq, 4D], sq)."""
     B, S, H, D = value.shape
-    _, Q, _, L, P, _ = sampling_locations.shape
-    assert L == len(spatial_shapes), (L, spatial_shapes)
-    compute_dtype = value.dtype
-
     value_bh = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
-
     quads = []
-    idx_parts = []  # [B, Q, H, P] each
-    wts_parts = []  # [B, Q, H, P, 4]
     start = 0
-    quad_start = 0
-    for lvl, (h_l, w_l) in enumerate(spatial_shapes):
+    for h_l, w_l in spatial_shapes:
         h_l, w_l = int(h_l), int(w_l)
         v = jax.lax.dynamic_slice_in_dim(value_bh, start, h_l * w_l, axis=2)
         v = v.reshape(B, H, h_l, w_l, D)
@@ -76,7 +64,46 @@ def _quad_prep(
         )  # [B, H, h+1, w+1, 4D]; index (y0+1, x0+1)
         qh, qw = h_l + 1, w_l + 1
         quads.append(quad.reshape(B, H, qh * qw, 4 * D))
+    sq = sum(_quad_sizes(spatial_shapes))
+    return jnp.concatenate(quads, axis=2).reshape(B * H * sq, 4 * D), sq
 
+
+def _quad_table_adjoint(d_table: jnp.ndarray, spatial_shapes, B: int, H: int, D: int):
+    """Adjoint of `_quad_table_build`: fold the 4 shifted corner copies of
+    the cotangent back onto the value grid (replaces the reference's
+    hand-written col2im accumulation, `ms_deform_im2col_cuda.cuh:301-921`,
+    for the table-construction half). Returns d_value [B, S, H, D]."""
+    sq = sum(_quad_sizes(spatial_shapes))
+    d_table = d_table.reshape(B, H, sq, 4 * D)
+    parts = []
+    off = 0
+    for h_l, w_l in spatial_shapes:
+        h_l, w_l = int(h_l), int(w_l)
+        qh, qw = h_l + 1, w_l + 1
+        dq = d_table[:, :, off:off + qh * qw].reshape(B, H, qh, qw, 4, D)
+        off += qh * qw
+        d_vp = jnp.zeros((B, H, h_l + 2, w_l + 2, D), dq.dtype)
+        d_vp = d_vp.at[:, :, :-1, :-1].add(dq[..., 0, :])
+        d_vp = d_vp.at[:, :, :-1, 1:].add(dq[..., 1, :])
+        d_vp = d_vp.at[:, :, 1:, :-1].add(dq[..., 2, :])
+        d_vp = d_vp.at[:, :, 1:, 1:].add(dq[..., 3, :])
+        parts.append(d_vp[:, :, 1:-1, 1:-1].reshape(B, H, h_l * w_l, D))
+    return jnp.swapaxes(jnp.concatenate(parts, axis=2), 1, 2)
+
+
+def _quad_coords(spatial_shapes, sampling_locations, attention_weights):
+    """Per-sample quad-table indices and bilinear corner weights.
+
+    Returns (idx [B,Q,H,K] int32 rows into one image-head's quad table,
+    wts [B,Q,H,K,4] float32). Differentiable wrt (locations, weights)
+    through `wts` — index derivatives are zero a.e. (floor), matching the
+    reference CUDA backward which differentiates only the lerp weights."""
+    B, Q, H, L, P, _ = sampling_locations.shape
+    idx_parts = []
+    wts_parts = []
+    quad_start = 0
+    for lvl, (h_l, w_l) in enumerate(spatial_shapes):
+        h_l, w_l = int(h_l), int(w_l)
         loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # [B,Q,H,P,2]
         attn = attention_weights[:, :, :, lvl].astype(jnp.float32)  # [B,Q,H,P]
         x = loc[..., 0] * w_l - 0.5
@@ -85,47 +112,72 @@ def _quad_prep(
         y0 = jnp.floor(y)
         wx1 = x - x0
         wy1 = y - y0
-        x0i = jnp.clip(x0.astype(jnp.int32), -1, w_l - 1)
-        y0i = jnp.clip(y0.astype(jnp.int32), -1, h_l - 1)
+        qw = w_l + 1
+        x0i = jnp.clip(jax.lax.stop_gradient(x0).astype(jnp.int32), -1, w_l - 1)
+        y0i = jnp.clip(jax.lax.stop_gradient(y0).astype(jnp.int32), -1, h_l - 1)
         idx_parts.append(quad_start + (y0i + 1) * qw + (x0i + 1))
-        quad_start += qh * qw
+        quad_start += (h_l + 1) * qw
 
         corner_ws = []
         for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-            xi = x0.astype(jnp.int32) + dx
-            yi = y0.astype(jnp.int32) + dy
+            xi = jax.lax.stop_gradient(x0).astype(jnp.int32) + dx
+            yi = jax.lax.stop_gradient(y0).astype(jnp.int32) + dy
             w = (wx1 if dx else (1.0 - wx1)) * (wy1 if dy else (1.0 - wy1))
             valid = (xi >= 0) & (xi < w_l) & (yi >= 0) & (yi < h_l)
             corner_ws.append(jnp.where(valid, w, 0.0) * attn)
         wts_parts.append(jnp.stack(corner_ws, axis=-1))  # [B,Q,H,P,4]
 
+    k = L * P
+    idx = jnp.stack(idx_parts, axis=3).reshape(B, Q, H, k)
+    wts = jnp.stack(wts_parts, axis=3).reshape(B, Q, H, k, 4)
+    return idx, wts
+
+
+def _quad_prep(
+    value: jnp.ndarray,
+    spatial_shapes: Sequence[Tuple[int, int]],
+    sampling_locations: jnp.ndarray,
+    attention_weights: jnp.ndarray,
+):
+    """Shared prep for the quad-packed formulations: builds the flat quad
+    table, per-sample global row indices, and compact corner weights.
+
+    Returns (quad_table [B*H*Sq, 4D], idx [B,Q,H,K] global rows,
+    wts [B,Q,H,K,4] in the compute dtype, sq).
+    """
+    B, S, H, D = value.shape
+    L = sampling_locations.shape[3]
+    assert L == len(spatial_shapes), (L, spatial_shapes)
+    compute_dtype = value.dtype
+
     # flat 2D table [(B*H*Sq), 4D]: a plain single-axis gather hits XLA:TPU's
     # fast gather path (~500 rows/us measured for 128-lane bf16 rows);
     # batched take_along_axis is ~4x slower for identical bytes
-    sq = quad_start
-    quad_table = jnp.concatenate(quads, axis=2).reshape(B * H * sq, 4 * D)
-    k = L * P
-    idx = jnp.stack(idx_parts, axis=3).reshape(B, Q, H, k)  # [B,Q,H,K]
-    wts = jnp.stack(wts_parts, axis=3).reshape(B, Q, H, k, 4)
+    quad_table, sq = _quad_table_build(value, spatial_shapes)
+    idx, wts = _quad_coords(spatial_shapes, sampling_locations, attention_weights)
     wts = wts.astype(compute_dtype)
-
-    # Lane-expand the 4 corner weights to the gathered row's 4*D lanes via a
-    # constant one-hot matmul E[c, c*D+d] = 1 on the MXU. A VPU lane-broadcast
-    # (jnp.repeat / reshape of (4, D) sublanes) measured ~13 ms per encoder
-    # layer on v5e — the lane shuffle, not the gather, was the round-1
-    # bottleneck; the MXU expansion is ~free and keeps every downstream op
-    # 128-lane aligned.
-    expand_np = np.zeros((4, 4 * D), np.float32)
-    for c in range(4):
-        expand_np[c, c * D:(c + 1) * D] = 1.0
-    expand = jnp.asarray(expand_np, compute_dtype)
-    w_wide = jnp.dot(
-        wts.reshape(-1, 4), expand, preferred_element_type=compute_dtype
-    ).reshape(B, Q, H, k, 4 * D)
 
     bh_base = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]) * sq  # [B,H]
     idx_flat = idx + bh_base[:, None, :, None]  # [B, Q, H, K] global rows
-    return quad_table, idx_flat, w_wide, sq
+    return quad_table, idx_flat, wts, sq
+
+
+def _lane_expand(wts: jnp.ndarray, d: int) -> jnp.ndarray:
+    """Lane-expand the 4 corner weights [..., K, 4] to the gathered row's
+    4*d lanes [..., K, 4*d] via a constant one-hot matmul E[c, c*d+j] = 1 on
+    the MXU. A VPU lane-broadcast (jnp.repeat / reshape of (4, d) sublanes)
+    measured ~13 ms per encoder layer on v5e — the lane shuffle, not the
+    gather, was the round-1 bottleneck; the MXU expansion is ~free and keeps
+    every downstream op 128-lane aligned. Called INSIDE the gather body so
+    the wide weights are materialized one batch-slice / q-chunk at a time."""
+    expand_np = np.zeros((4, 4 * d), np.float32)
+    for c in range(4):
+        expand_np[c, c * d:(c + 1) * d] = 1.0
+    expand = jnp.asarray(expand_np, wts.dtype)
+    shape = wts.shape[:-1] + (4 * d,)
+    return jnp.dot(
+        wts.reshape(-1, 4), expand, preferred_element_type=wts.dtype
+    ).reshape(shape)
 
 
 _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
@@ -163,19 +215,19 @@ def ms_deform_attn_xla_quad(
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     compute_dtype = value.dtype
-    quad_table, idx_flat, w_wide, sq = _quad_prep(
+    quad_table, idx_flat, wts, sq = _quad_prep(
         value, spatial_shapes, sampling_locations, attention_weights
     )
     k = L * P
 
-    def weighted_gather(table, ci, cw, b, qn):
-        # table [b*H*sq, 4D], ci [b,qn,H,K] rows into table, cw [b,qn,H,K,4D]
+    def weighted_gather(table, ci, w4, b, qn):
+        # table [b*H*sq, 4D], ci [b,qn,H,K] rows into table, w4 [b,qn,H,K,4]
         g = jax.lax.gather(
             table, ci.reshape(-1, 1), _GATHER_DNUMS,
             slice_sizes=(1, 4 * D),
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         ).reshape(b, qn, H, k, 4 * D)
-        return jnp.sum(g * cw, axis=3, dtype=jnp.float32)  # [b,qn,H,4D]
+        return jnp.sum(g * _lane_expand(w4, D), axis=3, dtype=jnp.float32)
 
     if q_chunk and q_chunk < Q:
         qc = q_chunk
@@ -183,9 +235,9 @@ def ms_deform_attn_xla_quad(
         q_pad = n_chunks * qc - Q
         if q_pad:
             idx_flat = jnp.pad(idx_flat, ((0, 0), (0, q_pad), (0, 0), (0, 0)))
-            w_wide = jnp.pad(w_wide, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
+            wts = jnp.pad(wts, ((0, 0), (0, q_pad), (0, 0), (0, 0), (0, 0)))
         idx_c = idx_flat.reshape(B, n_chunks, qc, H, k).transpose(1, 0, 2, 3, 4)
-        wts_c = w_wide.reshape(B, n_chunks, qc, H, k, 4 * D).transpose(1, 0, 2, 3, 4, 5)
+        wts_c = wts.reshape(B, n_chunks, qc, H, k, 4).transpose(1, 0, 2, 3, 4, 5)
 
         def chunk(_, iw):
             ci, cw = iw
@@ -207,9 +259,9 @@ def ms_deform_attn_xla_quad(
             tb, ci, cw = tiw
             return None, weighted_gather(tb, ci[None], cw[None], 1, Q)[0]
 
-        _, out = jax.lax.scan(per_img, None, (table_b, idx_b, w_wide))  # [B,Q,H,4D]
+        _, out = jax.lax.scan(per_img, None, (table_b, idx_b, wts))  # [B,Q,H,4D]
     else:
-        out = weighted_gather(quad_table, idx_flat, w_wide, B, Q)  # [B,Q,H,4D]
+        out = weighted_gather(quad_table, idx_flat, wts, B, Q)  # [B,Q,H,4D]
 
     out = out.reshape(B, Q, H, 4, D).sum(3)  # corner fold on the small output
     return out.reshape(B, Q, H * D).astype(compute_dtype)
@@ -311,6 +363,125 @@ def ms_deform_attn_xla(
     return out.reshape(B, Q, H * D).astype(compute_dtype)
 
 
+# ---------------------------------------------------------------------------
+# Custom VJP: the TPU answer to the reference's six hand-written col2im
+# backward kernels (`ms_deform_im2col_cuda.cuh:301-921`).
+#
+# Autodiff through the quad forward would (a) save the 661 MB gathered-row
+# tensor per encoder layer (or re-run the whole forward under remat) and
+# (b) emit an unfused scatter chain. This rule instead:
+#   * saves only the op INPUTS (value/locations/weights, ~150 MB total),
+#   * recomputes indices/weights (measured ~free) and re-gathers rows ONCE
+#     for the weight/location grads,
+#   * scatter-adds the row cotangents into an f32 quad-table accumulator in
+#     Q chunks (the scatter is the irreducible cost: ~57 rows/us on v5e vs
+#     ~500 rows/us gather),
+#   * un-quads the table cotangent densely (`_quad_table_adjoint`).
+# Index derivatives are zero a.e. (floor); gradients w.r.t. sampling
+# locations flow through the bilinear lerp weights exactly as in the
+# reference's `ms_deform_attn_col2im_*` kernels.
+# ---------------------------------------------------------------------------
+
+_SCATTER_DNUMS = jax.lax.ScatterDimensionNumbers(
+    update_window_dims=(1,), inserted_window_dims=(0,),
+    scatter_dims_to_operand_dims=(0,),
+)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 4))
+def ms_deform_attn_quad(
+    value, spatial_shapes, sampling_locations, attention_weights, q_chunk=0
+):
+    """`ms_deform_attn_xla_quad` with a hand-written backward (see above)."""
+    return ms_deform_attn_xla_quad(
+        value, spatial_shapes, sampling_locations, attention_weights, q_chunk
+    )
+
+
+def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_chunk):
+    out = ms_deform_attn_xla_quad(
+        value, spatial_shapes, sampling_locations, attention_weights, q_chunk
+    )
+    return out, (value, sampling_locations, attention_weights)
+
+
+def _quad_bwd(spatial_shapes, q_chunk, res, g):
+    value, loc, attn = res
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = loc.shape
+    k = L * P
+    cd = value.dtype
+
+    quad_table, sq = _quad_table_build(value, spatial_shapes)
+    idx, wts32 = _quad_coords(spatial_shapes, loc, attn)
+    bh_base = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]) * sq
+    idx_flat = idx + bh_base[:, None, :, None]  # [B,Q,H,K]
+    w_wide_src = wts32.astype(cd)
+
+    # corner-unfold the output cotangent on the MXU (adjoint of the
+    # final reshape(B,Q,H,4,D).sum(3)): g4[..., c*D+d] = g[..., d]
+    unfold_np = np.zeros((D, 4 * D), np.float32)
+    for c in range(4):
+        unfold_np[np.arange(D), c * D + np.arange(D)] = 1.0
+    unfold = jnp.asarray(unfold_np, cd)
+    g4 = jnp.dot(
+        g.reshape(-1, D).astype(cd), unfold, preferred_element_type=cd
+    ).reshape(B, Q, H, 4 * D)
+
+    # fold E^T into the corner-sum: d_w4[..., c] = sum_d d_w_wide[..., c*D+d]
+    foldT_np = np.zeros((4 * D, 4), np.float32)
+    for c in range(4):
+        foldT_np[c * D:(c + 1) * D, c] = 1.0
+    foldT = jnp.asarray(foldT_np, jnp.float32)
+
+    qc = q_chunk if (q_chunk and q_chunk < Q) else min(Q, 4096)
+    n_chunks = -(-Q // qc)
+    q_pad = n_chunks * qc - Q
+
+    def padq(x):
+        return jnp.pad(x, ((0, 0), (0, q_pad)) + ((0, 0),) * (x.ndim - 2)) if q_pad else x
+
+    idx_c = padq(idx_flat).reshape(B, n_chunks, qc, H, k).transpose(1, 0, 2, 3, 4)
+    w4_c = padq(w_wide_src).reshape(B, n_chunks, qc, H, k, 4).transpose(1, 0, 2, 3, 4, 5)
+    g4_c = padq(g4).reshape(B, n_chunks, qc, H, 4 * D).transpose(1, 0, 2, 3, 4)
+
+    def chunk(d_table, iw):
+        ci, w4c, g4c = iw  # [B,qc,H,K], [B,qc,H,K,4], [B,qc,H,4D]
+        rows = jax.lax.gather(
+            quad_table, ci.reshape(-1, 1), _GATHER_DNUMS, slice_sizes=(1, 4 * D),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).reshape(B, qc, H, k, 4 * D)
+        g4b = g4c[:, :, :, None, :]  # broadcast over K
+        d_rows = (g4b * _lane_expand(w4c, D)).astype(jnp.float32)
+        d_table = jax.lax.scatter_add(
+            d_table, ci.reshape(-1, 1), d_rows.reshape(-1, 4 * D), _SCATTER_DNUMS,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        )
+        d_w_wide = g4b * rows  # [B,qc,H,K,4D]
+        d_w4c = jnp.dot(
+            d_w_wide.reshape(-1, 4 * D).astype(jnp.float32), foldT,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, qc, H, k, 4)
+        return d_table, d_w4c
+
+    d_table0 = jnp.zeros((B * H * sq, 4 * D), jnp.float32)
+    d_table, d_w4 = jax.lax.scan(chunk, d_table0, (idx_c, w4_c, g4_c))
+    d_w4 = d_w4.transpose(1, 0, 2, 3, 4, 5).reshape(B, n_chunks * qc, H, k, 4)
+    if q_pad:
+        d_w4 = d_w4[:, :Q]
+
+    d_value = _quad_table_adjoint(d_table, spatial_shapes, B, H, D).astype(value.dtype)
+
+    # pull the weight cotangent back to (locations, weights) through the
+    # bilinear/validity formula (elementwise, cheap)
+    _, pull = jax.vjp(lambda l, a: _quad_coords(spatial_shapes, l, a)[1], loc, attn)
+    d_loc, d_attn = pull(d_w4.astype(jnp.float32))
+    return d_value, d_loc.astype(loc.dtype), d_attn.astype(attn.dtype)
+
+
+ms_deform_attn_quad.defvjp(_quad_fwd, _quad_bwd)
+
+
 def multi_scale_deformable_attention(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -332,6 +503,11 @@ def multi_scale_deformable_attention(
             value, spatial_shapes, sampling_locations, attention_weights
         )
     if impl == "xla":
+        return ms_deform_attn_quad(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+    if impl == "xla_autodiff":
+        # quad forward with autodiff backward (for grad-parity testing)
         return ms_deform_attn_xla_quad(
             value, spatial_shapes, sampling_locations, attention_weights
         )
