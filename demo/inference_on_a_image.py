@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--box-threshold", type=float, default=0.3)
     ap.add_argument("--text-threshold", type=float, default=0.25)
     ap.add_argument("--cpu-only", action="store_true")
+    ap.add_argument("--config-overrides", default=None,
+                    help="json file {'model': {...}} applied on top of the "
+                         "preset — tiny-config dev runs/tests")
     args = ap.parse_args()
 
     if args.cpu_only:
@@ -58,9 +61,30 @@ def main():
     if not args.text and not args.classes:
         ap.error("one of --text or --classes is required")
 
+    model_ov = {}
+    dcfg = None
+    if args.config_overrides:
+        from ziragroundingdino_tpu.config import BertConfig, DataConfig, SwinConfig
+
+        def tuplify(v):
+            return tuple(tuplify(x) for x in v) if isinstance(v, list) else v
+
+        with open(args.config_overrides) as f:
+            ov = json.load(f)
+        model_ov = {k: tuplify(v) for k, v in ov.get("model", {}).items()}
+        if isinstance(model_ov.get("swin_config"), (dict, tuple)):
+            model_ov["swin_config"] = SwinConfig(
+                **{k: tuplify(v) for k, v in ov["model"]["swin_config"].items()})
+        if isinstance(model_ov.get("bert_config"), dict):
+            model_ov["bert_config"] = BertConfig(**ov["model"]["bert_config"])
+        if ov.get("data"):
+            dcfg = DataConfig(**{k: tuplify(v) for k, v in ov["data"].items()})
+
     os.makedirs(args.output_dir, exist_ok=True)
-    lm = load_model(args.checkpoint, args.vocab, preset=args.preset)
-    image_source, (pixels, mask), size = load_image(args.image)
+    lm = load_model(args.checkpoint, args.vocab, preset=args.preset, **model_ov)
+    image_source, (pixels, mask), size = (
+        load_image(args.image) if dcfg is None else load_image(args.image, dcfg)
+    )
 
     t0 = time.time()
     if args.classes:
@@ -80,9 +104,10 @@ def main():
     annotated = annotate(image_source, boxes, scores, phrases)
     out_path = os.path.join(args.output_dir, "pred.jpg")
     Image.fromarray(annotated).save(out_path)
-    print(json.dumps({
-        "boxes": boxes.tolist(), "scores": scores.tolist(), "phrases": phrases,
-    }, indent=2))
+    pred = {"boxes": boxes.tolist(), "scores": scores.tolist(), "phrases": phrases}
+    with open(os.path.join(args.output_dir, "pred.json"), "w") as f:
+        json.dump(pred, f, indent=2)
+    print(json.dumps(pred, indent=2))
     print("saved:", out_path)
 
 

@@ -296,6 +296,86 @@ CASES = {
 }
 
 
+def case_scatter2():
+    log("\n=== scatter-add variants (2.58M 128-lane f32 rows into 85MB) ===")
+    n_idx = 2_580_000
+    n_rows = 165_392
+    dnums = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(1,), inserted_window_dims=(0,),
+        scatter_dims_to_operand_dims=(0,),
+    )
+    rng = np.random.RandomState(0)
+    upd = jnp.asarray(rng.randn(n_idx, 128), jnp.float32)
+    idx_rand = jnp.asarray(rng.randint(0, n_rows, size=n_idx), jnp.int32)
+    idx_sort = jnp.asarray(np.sort(rng.randint(0, n_rows, size=n_idx)), jnp.int32)
+    # near-raster: encoder-like (each query hits cells near its own pixel)
+    base = np.repeat(np.arange(0, n_rows - 64, (n_rows - 64) / (n_idx // 16)), 16)[:n_idx]
+    idx_raster = jnp.asarray(base.astype(np.int64) + rng.randint(0, 64, size=n_idx), jnp.int32)
+    reps = 4
+
+    def mk(sorted_flag=False, unique=False):
+        @jax.jit
+        def run(upd, idx, jitter):
+            def step(carry, r):
+                # +r+jitter then clip: varies per step/call (defeats CSE and
+                # relay caching) while PRESERVING sortedness for the flag
+                i = jnp.minimum(idx + r + jitter, n_rows - 1)
+                z = jnp.zeros((n_rows, 128), jnp.float32)
+                z = jax.lax.scatter_add(
+                    z, i.reshape(-1, 1), upd,
+                    dnums, indices_are_sorted=sorted_flag, unique_indices=unique,
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                )
+                return carry + z[0].sum(dtype=jnp.float32), None
+            out, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), jnp.arange(reps))
+            return out
+        return run
+
+    for name, idx, fl in (("random", idx_rand, False), ("sorted", idx_sort, False),
+                          ("sorted+flag", idx_sort, True), ("near-raster", idx_raster, False)):
+        dt = timed(mk(sorted_flag=fl), upd, idx) / reps
+        log(f"{name:>12}: {n_idx/dt/1e6:7.1f} rows/us  [{dt*1e3:.1f} ms]")
+
+    # 4-way split into 4 tables, summed after (tests scatter concurrency)
+    @jax.jit
+    def split4(upd, idx, jitter):
+        def step(carry, r):
+            zs = []
+            for s in range(4):
+                z = jnp.zeros((n_rows, 128), jnp.float32)
+                z = jax.lax.scatter_add(
+                    z, jnp.minimum(idx[s::4] + r + jitter, n_rows - 1).reshape(-1, 1),
+                    upd[s::4],
+                    dnums, mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+                zs.append(z)
+            z = zs[0] + zs[1] + zs[2] + zs[3]
+            return carry + z[0].sum(dtype=jnp.float32), None
+        out, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), jnp.arange(reps))
+        return out
+    dt = timed(split4, upd, idx_rand) / reps
+    log(f"{'4-way split':>12}: {n_idx/dt/1e6:7.1f} rows/us  [{dt*1e3:.1f} ms]")
+
+    # sort+segment_sum alternative
+    @jax.jit
+    def seg(upd, idx, jitter):
+        def step(carry, r):
+            si, su = jax.lax.sort_key_val(
+                jnp.broadcast_to((jnp.minimum(idx + r + jitter, n_rows - 1))[:, None],
+                                 upd.shape), upd)
+            z = jax.ops.segment_sum(su, si[:, 0], num_segments=n_rows)
+            return carry + z[0].sum(dtype=jnp.float32), None
+        out, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32), jnp.arange(reps))
+        return out
+    try:
+        dt = timed(seg, upd, idx_rand) / reps
+        log(f"{'sort+segsum':>12}: {n_idx/dt/1e6:7.1f} rows/us  [{dt*1e3:.1f} ms]")
+    except Exception as e:
+        log(f"sort+segsum FAILED: {type(e).__name__}: {str(e)[:100]}")
+
+
+CASES["scatter2"] = case_scatter2
+
+
 if __name__ == "__main__":
     from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache
 

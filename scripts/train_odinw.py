@@ -57,6 +57,18 @@ def main():
                     help="'data[,model]' axis sizes for multi-chip runs, e.g. "
                          "'8' (DP over 8 chips) or '4,2' (DP x TP); default: "
                          "single device")
+    ap.add_argument("--tasks", default=None,
+                    help="comma-separated subset of suite task names (the "
+                         "reference's per-task for_train/*.py glob can be "
+                         "trimmed the same way)")
+    ap.add_argument("--config-overrides", default=None,
+                    help="json file {'model': {...}, 'data': {...}} applied "
+                         "on top of the preset — tiny-config dev runs/tests")
+    ap.add_argument("--no-remat", action="store_true",
+                    help="disable encoder remat: ~12%% faster steps (375 vs "
+                         "421 ms @ b=1 800x1216 on v5e, bench_train.py) but "
+                         "more activation memory — fine at b=1, may OOM at "
+                         "b>=2 with the largest shape buckets")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -117,15 +129,42 @@ def main():
             f"--batch-size {args.batch_size} must be divisible by the data "
             f"axis {mesh.shape['data']}")
 
-    # remat the encoder in training: recompute activations in backward
-    # instead of keeping the gathered MSDA tensors per layer (6x ~0.7GB/img)
+    model_ov, data_ov = {}, {}
+    if args.config_overrides:
+        from ziragroundingdino_tpu.config import BertConfig, SwinConfig
+
+        def tuplify(v):
+            return tuple(tuplify(x) for x in v) if isinstance(v, list) else v
+
+        with open(args.config_overrides) as f:
+            ov = json.load(f)
+        model_ov = {k: tuplify(v) for k, v in ov.get("model", {}).items()}
+        if isinstance(model_ov.get("swin_config"), tuple) or isinstance(
+                model_ov.get("swin_config"), dict):
+            model_ov["swin_config"] = SwinConfig(
+                **{k: tuplify(v) for k, v in ov["model"]["swin_config"].items()})
+        if isinstance(model_ov.get("bert_config"), dict):
+            model_ov["bert_config"] = BertConfig(**ov["model"]["bert_config"])
+        data_ov = {k: tuplify(v) for k, v in ov.get("data", {}).items()}
+
+    # remat the encoder in training (default): recompute activations in the
+    # backward. With the MSDA custom VJP the gathered tensors are never saved
+    # either way, so --no-remat fits at b=1 and is faster; remat stays the
+    # default for batch>=2 safety.
+    remat = not args.no_remat
     lm = load_model(args.checkpoint, args.vocab, preset=args.preset,
-                    use_checkpoint=True, use_transformer_ckpt=True)
+                    use_checkpoint=remat, use_transformer_ckpt=remat, **model_ov)
     model, tokenizer, cfg = lm.model, lm.tokenizer, lm.cfg
-    dcfg = DataConfig()
+    dcfg = DataConfig(**data_ov)
     rng = np.random.RandomState(args.seed)
 
     tasks_meta = odinw_suite(args.suite, args.datasets_root, args.shot)
+    if args.tasks:
+        keep = {t.strip() for t in args.tasks.split(",") if t.strip()}
+        unknown = keep - {t.name for t in tasks_meta}
+        if unknown:
+            raise SystemExit(f"--tasks not in suite {args.suite}: {sorted(unknown)}")
+        tasks_meta = [t for t in tasks_meta if t.name in keep]
     if args.shuffle:
         rng.shuffle(tasks_meta)
 
@@ -147,6 +186,7 @@ def main():
             return inference_on_dataset(
                 {"params": params}, iter(loader), inference_fn,
                 num_classes=len(ds.category_names),
+                class_names=ds.category_names,
             )
         return eval_fn
 
@@ -262,6 +302,7 @@ def main():
             return inference_on_dataset(
                 {"params": params}, iter(loader), inference_fn,
                 num_classes=len(ds.category_names),
+                class_names=ds.category_names,
             )
 
     report = final_report(state, tasks, coco_eval_fn)

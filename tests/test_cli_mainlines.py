@@ -1,0 +1,158 @@
+"""CLI mainline tests: the two most user-visible surfaces run as real
+subprocesses (VERDICT round-1 item 6).
+
+  * scripts/train_odinw.py --fast-dev-run over 2 synthetic ODinW tasks —
+    arg parsing, chained state, task checkpoints, result.json
+    (reference mainline: train_multidatasets.py:473-561)
+  * demo/inference_on_a_image.py on a synthetic checkpoint — annotated
+    image + predictions json (reference: demo/inference_on_a_image.py:122-172)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from tests.common import TINY_BERT, TINY_SWIN, tiny_tokenizer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TINY_MODEL_OVERRIDES = {
+    "hidden_dim": 64, "nheads": 4, "dim_feedforward": 128,
+    "enc_layers": 1, "dec_layers": 1, "num_queries": 8,
+    "max_text_len": 32, "max_categories": 8, "compute_dtype": "float32",
+    "fusion_droppath": 0.0,
+    "swin_config": {
+        "embed_dim": 8, "depths": [1, 1, 1, 1], "num_heads": [1, 2, 4, 8],
+        "window_size": 4, "drop_path_rate": 0.0, "out_indices": [1, 2, 3],
+    },
+    "bert_config": {
+        "vocab_size": 128, "hidden_size": 32, "num_hidden_layers": 2,
+        "num_attention_heads": 2, "intermediate_size": 64,
+        "max_position_embeddings": 64, "hidden_dropout": 0.0,
+        "attention_dropout": 0.0,
+    },
+}
+TINY_DATA_OVERRIDES = {
+    "shape_buckets": [[64, 96]], "max_boxes": 8, "num_workers": 0,
+    "test_short_side": 64, "max_size": 96, "train_short_sides": [64],
+}
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    tok = tiny_tokenizer()
+    inv = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+    vocab = tmp / "vocab.txt"
+    vocab.write_text("\n".join(k for k, _ in inv) + "\n")
+    sd = {
+        "module.feat_map.weight": torch.full((64, 32), 0.01),
+        "module.feat_map.bias": torch.zeros(64),
+    }
+    ckpt = tmp / "mini.pth"
+    torch.save({"model": sd}, str(ckpt))
+    cfg_json = tmp / "tiny.json"
+    cfg_json.write_text(json.dumps(
+        {"model": TINY_MODEL_OVERRIDES, "data": TINY_DATA_OVERRIDES}))
+    return tmp, str(ckpt), str(vocab), str(cfg_json)
+
+
+def _write_coco_task(root, class_names, n_train=6, n_test=3, seed=0):
+    """A tiny ODinW-layout task: <root>/{train,test}/
+    annotations_without_background.json + png images."""
+    rng = np.random.RandomState(seed)
+    for split, n in (("train", n_train), ("test", n_test)):
+        d = os.path.join(root, split)
+        os.makedirs(d, exist_ok=True)
+        images, annotations = [], []
+        aid = 1
+        for i in range(n):
+            fn = f"img{i}.png"
+            arr = rng.randint(0, 255, (48, 72, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(os.path.join(d, fn))
+            images.append({"id": i + 1, "file_name": fn, "height": 48, "width": 72})
+            for _ in range(rng.randint(1, 3)):
+                x, y = rng.randint(0, 40), rng.randint(0, 24)
+                w, h = rng.randint(8, 24), rng.randint(8, 16)
+                annotations.append({
+                    "id": aid, "image_id": i + 1,
+                    "category_id": int(rng.randint(1, len(class_names) + 1)),
+                    "bbox": [int(x), int(y), int(w), int(h)],
+                    "area": int(w * h), "iscrowd": 0,
+                })
+                aid += 1
+        coco = {
+            "images": images, "annotations": annotations,
+            "categories": [
+                {"id": ci + 1, "name": cn} for ci, cn in enumerate(class_names)
+            ],
+        }
+        with open(os.path.join(d, "annotations_without_background.json"), "w") as f:
+            json.dump(coco, f)
+
+
+def _run(args, cwd=REPO, timeout=2400):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    p = subprocess.run(
+        [sys.executable] + args, cwd=cwd, env=env,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    assert p.returncode == 0, f"exit {p.returncode}\n--- stdout\n{p.stdout}\n--- stderr\n{p.stderr[-4000:]}"
+    return p
+
+
+def test_train_odinw_fast_dev_run(artifacts, tmp_path):
+    tmp, ckpt, vocab, cfg_json = artifacts
+    droot = tmp_path / "odinw"
+    # two tasks from the ODinW13 suite, synthetic data in their real layout
+    _write_coco_task(str(droot / "CottontailRabbits"), ["cat", "dog"], seed=1)
+    _write_coco_task(str(droot / "pothole"), ["person", "car"], seed=2)
+    out = tmp_path / "out"
+    _run([
+        "scripts/train_odinw.py",
+        "--checkpoint", ckpt, "--vocab", vocab,
+        "--datasets-root", str(droot),
+        "--suite", "odinw13", "--tasks", "CottontailRabbits,pothole",
+        "--output-dir", str(out), "--batch-size", "2",
+        "--fast-dev-run", "--config-overrides", cfg_json,
+    ])
+    # chained per-task state + final report
+    for task in ("CottontailRabbits", "pothole"):
+        assert (out / task / "state_final").exists(), task
+        assert (out / task / "ckpt").exists(), task
+    report = json.loads((out / "result.json").read_text())
+    assert "avg_AP" in report, report
+    assert "AP/CottontailRabbits" in report and "AP/pothole" in report, report
+    assert (out / "run_stamp.json").exists()
+
+
+def test_demo_inference(artifacts, tmp_path):
+    tmp, ckpt, vocab, cfg_json = artifacts
+    img = tmp_path / "scene.png"
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (60, 90, 3), dtype=np.uint8)
+    ).save(img)
+    out = tmp_path / "demo_out"
+    _run([
+        "demo/inference_on_a_image.py",
+        "-c", "dualzerorepbranchgroundingdino",
+        "-p", ckpt, "--vocab", vocab,
+        "-i", str(img), "-t", "cat. dog.",
+        "-o", str(out), "--cpu-only",
+        "--box-threshold", "0.0", "--text-threshold", "0.0",
+        "--config-overrides", cfg_json,
+    ])
+    files = os.listdir(out)
+    assert any(f.endswith((".jpg", ".png")) for f in files), files
+    js = [f for f in files if f.endswith(".json")]
+    assert js, files
+    pred = json.loads((out / js[0]).read_text())
+    assert "boxes" in pred or "predictions" in pred or isinstance(pred, list), pred

@@ -7,12 +7,15 @@ warmup-excluded s/img timing, per-batch device sync) + `COCOEvaluator`
 
 from __future__ import annotations
 
+import logging
 import time
-from typing import Callable, Dict, Iterable, Optional
+from typing import Callable, Dict, Iterable, Optional, Sequence
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
 
 from ziragroundingdino_tpu.eval.coco_map import CocoMeanAP
 from ziragroundingdino_tpu.eval.postprocess import scale_to_original, top_k_detections
@@ -52,6 +55,7 @@ def inference_on_dataset(
     num_classes: int,
     num_warmup: int = 2,
     score_floor: float = 0.0,
+    class_names: Optional[Sequence[str]] = None,
 ) -> Dict[str, float]:
     """Runs eval, returns COCO metrics + timing (s/img like the reference's
     'pure compute time')."""
@@ -100,4 +104,12 @@ def inference_on_dataset(
     if timed_images:
         res["sec_per_img"] = compute_time / timed_images
         res["images_per_sec"] = timed_images / compute_time
+    if class_names is not None:
+        # the per-category AP table the reference prints per eval
+        # (`evaluation/coco_evaluation.py:205-269`)
+        logger.info("per-category AP:\n%s", evaluator.per_category_table(class_names))
+        res["per_category_AP"] = {
+            n: float(v)
+            for n, v in zip(class_names, evaluator.per_category_ap())
+        }
     return res

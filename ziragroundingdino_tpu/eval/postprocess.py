@@ -25,6 +25,9 @@ def top_k_detections(
 ) -> Dict[str, jnp.ndarray]:
     b, q, c = class_logits.shape
     prob = jax.nn.sigmoid(class_logits.astype(jnp.float32)).reshape(b, q * c)
+    # the reference's select_box_nums_for_evaluation=200 can exceed Q*C for
+    # tiny dev configs; clamp like torch.topk(min(k, n)) would require
+    k = min(k, q * c)
     scores, idx = jax.lax.top_k(prob, k)  # [B, K]
     query = idx // c
     labels = idx % c
