@@ -283,6 +283,27 @@ def tiny_reference_zira_args(max_text_len: int = 32):
     return args
 
 
+def tiny_reference_cat_args(max_text_len: int = 32):
+    """`config/GroundingDINO_SwinT_OGC_cat.py` shrunk to tiny scale with the
+    in-layer adapters ON (the config ships use_adapter=False; the adapter
+    path is the capability under test)."""
+    from groundingdino.util.slconfig import SLConfig
+
+    args = SLConfig.fromfile(
+        f"{REFERENCE_ROOT}/groundingdino/config/GroundingDINO_SwinT_OGC_cat.py"
+    )
+    args.hidden_dim = 64
+    args.nheads = 4
+    args.dim_feedforward = 128
+    args.enc_layers = 2
+    args.dec_layers = 2
+    args.num_queries = 12
+    args.max_text_len = max_text_len
+    args.fusion_droppath = 0.0
+    args.use_adapter = True
+    return args
+
+
 def build_tiny_reference_model(wp_tokenizer, max_text_len: int = 32, seed: int = 0,
                                kind: str = "vanilla"):
     """Constructs the reference GroundingDINO (vanilla or the ZiRa
@@ -375,6 +396,23 @@ def build_tiny_reference_model(wp_tokenizer, max_text_len: int = 32, seed: int =
             model = build_dual_zero_rep_branch_groundingdino(
                 tiny_reference_zira_args(max_text_len))
             model.device = "cpu"  # ctor defaults to "cuda" (`:166`)
+        elif kind == "repconvbn":
+            from groundingdino.models.GroundingDINO.groundingdino_repconvbn import (
+                build_repconvbn_groundingdino,
+            )
+
+            model = build_repconvbn_groundingdino(
+                tiny_reference_zira_args(max_text_len))
+            if hasattr(model, "device"):
+                model.device = "cpu"
+        elif kind == "cat":
+            from groundingdino.models.GroundingDINO.groundingdino_conditional_adapter_tuning import (
+                build_cat_groundingdino,
+            )
+
+            model = build_cat_groundingdino(tiny_reference_cat_args(max_text_len))
+            if hasattr(model, "device"):
+                model.device = "cpu"
         else:
             raise ValueError(kind)
     finally:

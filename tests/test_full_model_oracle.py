@@ -67,14 +67,19 @@ def _our_text(wp_tok, caption, max_text_len=32):
     return tb, {k: jnp.asarray(v) for k, v in tb.asdict().items()}
 
 
-def _convert_into(model, ref, jp, jm, text):
+def _convert_into(model, ref, jp, jm, text, with_stats=False):
     variables = model.init(jax.random.PRNGKey(0), jp, jm, text)
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
-    tree, _, _, unmatched = convert_state_dict(
+    tree, stats, _, unmatched = convert_state_dict(
         {k: v.numpy() for k, v in ref.state_dict().items()})
     problems = merge_into(params, tree)
     assert unmatched == [], f"converter missed reference keys: {unmatched[:10]}"
     assert problems == [], f"merge problems: {problems[:10]}"
+    if with_stats:
+        bstats = jax.tree_util.tree_map(np.asarray, variables.get("batch_stats", {}))
+        sproblems = merge_into(bstats, stats)
+        assert sproblems == [], f"stats merge problems: {sproblems[:10]}"
+        return params, bstats
     return params
 
 
@@ -279,3 +284,114 @@ def test_reference_text_mask_quirk(wp):
     np.testing.assert_allclose(ours, out_interleave, atol=1e-5)
     assert np.max(np.abs(out_repeat - out_interleave)) > 1e-3, (
         "expected the reference repeat() quirk to matter at batch>1")
+
+
+def test_repconvbn_full_model_oracle(wp):
+    """repconvbn variant (`groundingdino_repconvbn.py`): the single-branch
+    conv+BN rep adapter's FREEZE convs randomized so their conversion is
+    load-bearing; eval forward (freeze branch only, `:96-104`) must match."""
+    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="repconvbn")
+
+    g = torch.Generator().manual_seed(11)
+    with torch.no_grad():
+        for m in ref.input_proj_conv_adapter:
+            m.freeze_conv.weight.normal_(0, 0.05, generator=g)
+            m.freeze_conv.bias.normal_(0, 0.05, generator=g)
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_dt(box_cls, box_pred, image_sizes):
+        captured["logits"] = box_cls.numpy()
+        captured["boxes"] = box_pred.numpy()
+        raise _Stop
+
+    ref.dt_inference = fake_dt
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    raw = rng.randint(0, 255, size=(3, h, w)).astype(np.float32)
+    with torch.no_grad(), pytest.raises(_Stop):
+        ref([{"image": torch.from_numpy(raw), "captions": "cat.dog.",
+              "height": h, "width": w}])
+
+    # the reference model here is built from the OGC_rep SLConfig, which has
+    # use_cet=True (the preset shim maps repconvbn to use_cet=False because
+    # no dedicated SLConfig exists for it — the oracle mirrors the build)
+    cfg = tiny_config(modelname="repconvbngroundingdino", use_cet=True,
+                      cet_middle_dim=16)
+    model = GroundingDINO(cfg=cfg)
+    tb, text = _our_text(wp, "cat.dog.")
+    pm = np.array(ref.pixel_mean, np.float32)
+    ps = np.array(ref.pixel_std, np.float32)
+    jp = jnp.asarray(((raw.transpose(1, 2, 0) - pm) / ps)[None])
+    jm = jnp.ones((1, h, w), bool)
+    params, bstats = _convert_into(model, ref, jp, jm, text, with_stats=True)
+    out = model.apply({"params": params, "batch_stats": bstats},
+                      jp, jm, text, train=False)
+
+    j_cls = np.asarray(class_logits_from_tokens(
+        out["pred_logits"], jnp.asarray(np.asarray(tb.cate_to_token_mask))),
+        np.float32)
+    n_cls = 2
+    cls_diff = np.max(np.abs(j_cls[..., :n_cls] - captured["logits"][..., :n_cls]))
+    box_diff = np.max(np.abs(np.asarray(out["pred_boxes"], np.float32)
+                             - captured["boxes"]))
+    assert cls_diff < 2e-3, f"per-class logits diverge: {cls_diff}"
+    assert box_diff < 2e-4, f"boxes diverge: {box_diff}"
+
+
+def test_cat_full_model_oracle(wp):
+    """CAT variant (`groundingdino_conditional_adapter_tuning.py` +
+    `transformer_for_adapter.py:850,969` in-layer adapters, use_adapter=True):
+    adapter up-projections randomized (zero-init otherwise) so the gated
+    bottleneck path and its conversion are load-bearing at eval."""
+    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="cat")
+
+    g = torch.Generator().manual_seed(13)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if ".adapter.adapter_up." in name:
+                p.normal_(0, 0.05, generator=g)
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_inf(box_cls, box_pred, image_sizes):
+        captured["logits"] = box_cls.numpy()
+        captured["boxes"] = box_pred.numpy()
+        raise _Stop
+
+    ref.inference = fake_inf
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    raw = rng.randint(0, 255, size=(3, h, w)).astype(np.float32)
+    with torch.no_grad(), pytest.raises(_Stop):
+        ref([{"image": torch.from_numpy(raw), "captions": "cat.dog.",
+              "height": h, "width": w}])
+
+    cfg = tiny_config(modelname="catgroundingdino", use_adapter=True,
+                      use_cet=False, use_prompt=True)
+    model = GroundingDINO(cfg=cfg)
+    tb, text = _our_text(wp, "cat.dog.")
+    pm = np.array(ref.pixel_mean, np.float32)
+    ps = np.array(ref.pixel_std, np.float32)
+    jp = jnp.asarray(((raw.transpose(1, 2, 0) - pm) / ps)[None])
+    jm = jnp.ones((1, h, w), bool)
+    params = _convert_into(model, ref, jp, jm, text)
+    out = model.apply({"params": params}, jp, jm, text, train=False)
+
+    # the reference emits per-class logits padded to max_text_len with -100
+    # fill (recover_to_cls_logits); compare the real class columns
+    n_cls = 2
+    ours = np.asarray(class_logits_from_tokens(
+        out["pred_logits"], jnp.asarray(np.asarray(tb.cate_to_token_mask))),
+        np.float32)[..., :n_cls]
+    cls_diff = np.max(np.abs(ours - captured["logits"][..., :n_cls]))
+    box_diff = np.max(np.abs(np.asarray(out["pred_boxes"], np.float32)
+                             - captured["boxes"]))
+    assert cls_diff < 2e-3, f"logits diverge: {cls_diff}"
+    assert box_diff < 2e-4, f"boxes diverge: {box_diff}"

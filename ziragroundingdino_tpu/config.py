@@ -145,6 +145,10 @@ class GroundingDINOConfig:
     use_cet: bool = True
     cet_middle_dim: int = 1024
     cet_type: str = "Adapter"
+    # CAT conditional prompt: MoE adapter over the pooled deepest level,
+    # added to the encoded text (`groundingdino_conditional_adapter_tuning.py:
+    # 137-146,366-378`; `GroundingDINO_SwinT_OGC_cat.py:61`)
+    use_prompt: bool = False
     use_prompt_memory: bool = False
     use_prompt_memory_output: bool = True
 
@@ -264,6 +268,7 @@ MODEL_PRESETS: Dict[str, GroundingDINOConfig] = {
                            use_zero_inter_loss=False, use_zero_inter_loss_for_conv=False),
     # conditional adapter tuning / CAT (`GroundingDINO_SwinT_OGC_cat.py`)
     "catgroundingdino": _preset(modelname="catgroundingdino", use_adapter=True, use_cet=False,
+                                use_prompt=True,
                                 use_zero_inter_loss=False, use_project_adapter=False,
                                 use_zero_inter_loss_for_conv=False),
 }

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ziragroundingdino_tpu.config import GroundingDINOConfig
-from ziragroundingdino_tpu.models.adapters import Adapter, LinearAdapter, TransformerAdapter
+from ziragroundingdino_tpu.models.adapters import Adapter, LinearAdapter, MoeAdapter, TransformerAdapter
 from ziragroundingdino_tpu.models.bert import BertEncoder
 from ziragroundingdino_tpu.models.heads import ContrastiveEmbed
 from ziragroundingdino_tpu.models.layers import MLP, Dense, inverse_sigmoid
@@ -145,7 +145,11 @@ class TextEncoderOnly(nn.Module):
             if lang_adapter is not None:
                 rep_out, adapter_loss = lang_adapter(bert_out, train=train)
                 encoded_text = encoded_text + rep_out
-            elif not is_zira:
+            else:
+                # single-branch rep variants (repconv/repconvbn) have no
+                # language rep branch; with use_cet they build a CET adapter
+                # exactly like the dt model (`groundingdino_repconvbn.py:
+                # 253-270,473-474`)
                 cet_cls = {
                     "Adapter": Adapter, "Linear": LinearAdapter,
                     "Transformer": TransformerAdapter,
@@ -215,7 +219,9 @@ class GroundingDINO(nn.Module):
             if lang_adapter is not None:
                 rep_out, loss_linear_adapter = lang_adapter(bert_out, train=train)
                 encoded_text = encoded_text + rep_out
-            elif not is_zira:
+            else:
+                # see TextEncoder: repconv/repconvbn + use_cet -> CET adapter
+                # (`groundingdino_repconvbn.py:253-270,473-474`)
                 cet_cls = {
                     "Adapter": Adapter, "Linear": LinearAdapter,
                     "Transformer": TransformerAdapter,
@@ -295,7 +301,21 @@ class GroundingDINO(nn.Module):
                     kw["scale_init"] = cfg.zira_vis_scale
                 extra, zl = va_cls(**kw)(src_in, train=train)
                 loss_conv_adapter = loss_conv_adapter + zl
-            src = proj(src_in, extra)
+            # adapter placement differs by variant: dual-branch ZiRa and
+            # repconv add BEFORE the input_proj GroupNorm
+            # (`groundingdino_dual_zero_rep_branch.py:487-529`,
+            # `groundingdino_repconv.py:583-584`), while repconvbn and the
+            # multilayer variant add AFTER the full projection
+            # (`groundingdino_repconvbn.py:613-614`,
+            # `groundingdino_dual_zero_rep_multilayer_branch.py:575-576`)
+            post_norm_adapter = cfg.modelname in (
+                "repconvbngroundingdino",
+                "dualzerorepmultilayerbranchgroundingdino",
+            )
+            if post_norm_adapter and extra is not None:
+                src = proj(src_in) + extra
+            else:
+                src = proj(src_in, extra)
             if lvl < num_backbone_outs:
                 m_lvl = m
             else:
@@ -318,6 +338,23 @@ class GroundingDINO(nn.Module):
                         temperature_w=cfg.pe_temperature_w,
                     ).astype(cd)
                 )
+
+        # CAT conditional prompt (`groundingdino_conditional_adapter_tuning.py:
+        # 366-378`): MoE-adapt the pooled deepest-level feature, add to the
+        # encoded text (pool includes padding, like adaptive_avg_pool2d there)
+        prompt_loss = jnp.zeros((), jnp.float32)
+        if cfg.use_prompt:
+            ctx = jnp.mean(srcs[-1].astype(jnp.float32), axis=(1, 2))[:, None, :]
+            prompt_out, prompt_loss = MoeAdapter(
+                embed_dim=cfg.hidden_dim, down_dim=64, output_dim=cfg.hidden_dim,
+                gate_base_scale=1.0, num_experts=1, topk=1, use_self_kd=False,
+                dtype=cd, name="prompt_adapter",
+            )(ctx.astype(cd), deterministic)
+            prompt_loss = prompt_loss + jnp.mean(jnp.abs(prompt_out.astype(jnp.float32)))
+            text_dict = dict(
+                text_dict,
+                encoded_text=text_dict["encoded_text"] + prompt_out,
+            )
 
         # ------------------------------------------------ heads (params shared
         # with the transformer's enc heads per two_stage_*_share flags)
@@ -394,6 +431,6 @@ class GroundingDINO(nn.Module):
         out["adapter_losses"] = {
             "loss_linear_adapter": loss_linear_adapter,
             "loss_conv_adapter": loss_conv_adapter,
-            "loss_adapter": tr_out["adapter_loss"],
+            "loss_adapter": tr_out["adapter_loss"] + prompt_loss,
         }
         return out

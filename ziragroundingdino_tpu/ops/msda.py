@@ -247,11 +247,36 @@ def ms_deform_attn_xla_quad(
         out = out.transpose(1, 0, 2, 3, 4).reshape(B, n_chunks * qc, H, 4 * D)
         if q_pad:
             out = out[:, :Q]
+        out = out.reshape(B, Q, H, 4, D).sum(3)
+        return out.reshape(B, Q, H * D).astype(compute_dtype)
+
+    if B * Q * H * k >= 1 << 20 and B <= 2:
+        # Large (encoder-scale) case at small batch: scan over (b, h) pairs
+        # so each gather reads from its own ~10 MB table slice. v5e gather
+        # rate vs table size has a cliff (~440 rows/us under ~16 MB, ~380 at
+        # 43 MB, ~150 above 64 MB, measured) — the finest granularity wins
+        # when the scan is short.
+        table_bh = quad_table.reshape(B * H, sq, 4 * D)
+        bh_base = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]) * sq
+        idx_loc = idx_flat - bh_base[:, None, :, None]
+        idx_bh = jnp.moveaxis(idx_loc, 2, 1).reshape(B * H, Q, k)
+        wts_bh = jnp.moveaxis(wts, 2, 1).reshape(B * H, Q, k, 4)
+
+        def per_bh(_, xs):
+            tb, ci, w4 = xs
+            g = jax.lax.gather(
+                tb, ci.reshape(-1, 1), _GATHER_DNUMS, slice_sizes=(1, 4 * D),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).reshape(Q, k, 4 * D)
+            return None, jnp.sum(g * _lane_expand(w4, D), axis=1, dtype=jnp.float32)
+
+        _, out = jax.lax.scan(per_bh, None, (table_bh, idx_bh, wts_bh))
+        out = jnp.moveaxis(out.reshape(B, H, Q, 4 * D), 1, 2)  # [B,Q,H,4D]
     elif B > 1:
-        # Per-image gathers: one big gather over the batch-flattened table
-        # drops to ~150 rows/us once the table exceeds ~100 MB, while
-        # per-43MB-table gathers hold ~400 rows/us (v5e, measured) — the
-        # round-1 "throughput anti-monotone in batch size" came from here.
+        # larger batches: per-IMAGE tables (43 MB, ~380 rows/us) amortize
+        # scan overhead better than 8x more per-(b,h) iterations — the
+        # round-1 "throughput anti-monotone in batch size" came from one
+        # big batch-flattened table crossing the gather-rate cliff
         table_b = quad_table.reshape(B, H * sq, 4 * D)
         idx_b = idx_flat - (jnp.arange(B, dtype=idx_flat.dtype) * (H * sq))[:, None, None, None]
 

@@ -172,6 +172,34 @@ _lin_rules(r"cet_adapter\.adapter_up", "cet_adapter/adapter_up")
 _rule(r"cet_adapter\.gate\.weight$", "cet_adapter/gate/gate")
 _lin_rules(r"cet_adapter\.linear", "cet_adapter/linear")
 
+# ---- CAT conditional prompt MoE adapter -------------------------------------
+# (`groundingdino_conditional_adapter_tuning.py:137-146` -> `moe.py:144-307`).
+# The shipped config uses num_experts=1; the torch per-expert parameters map
+# into our stacked [E, ...] expert arrays at index 0 (e>0 keys would surface
+# as unmatched, loudly).
+_rule(r"prompt_adapter\.adapter_moe\.w_gate$", "prompt_adapter/adapter_moe/w_gate")
+_rule(r"prompt_adapter\.adapter_moe\.w_noise$", "prompt_adapter/adapter_moe/w_noise")
+_rule(r"prompt_adapter\.adapter_moe\.experts\.0\.fc1\.weight$",
+      "prompt_adapter/adapter_moe/fc1_kernel", lambda a: a.T[None])
+_rule(r"prompt_adapter\.adapter_moe\.experts\.0\.fc1\.bias$",
+      "prompt_adapter/adapter_moe/fc1_bias", lambda a: a[None])
+_rule(r"prompt_adapter\.adapter_moe\.experts\.0\.fc2\.weight$",
+      "prompt_adapter/adapter_moe/fc2_kernel", lambda a: a.T[None])
+_rule(r"prompt_adapter\.adapter_moe\.experts\.0\.fc2\.bias$",
+      "prompt_adapter/adapter_moe/fc2_bias", lambda a: a[None])
+# registered buffers of the gate's Normal distribution: constants (0, 1)
+_rule(r"prompt_adapter\.adapter_moe\.mean$", "<drop>")
+_rule(r"prompt_adapter\.adapter_moe\.std$", "<drop>")
+
+# ---- in-layer adapters (cat variant, `transformer_for_adapter.py:850,969`) --
+for side in ("encoder", "decoder"):
+    _lin_rules(rf"transformer\.{side}\.layers\.(\d+)\.adapter\.adapter_down",
+               rf"transformer/{side}/layers_\1/adapter/adapter_down")
+    _lin_rules(rf"transformer\.{side}\.layers\.(\d+)\.adapter\.adapter_up",
+               rf"transformer/{side}/layers_\1/adapter/adapter_up")
+    _rule(rf"transformer\.{side}\.layers\.(\d+)\.adapter\.gate\.weight$",
+          rf"transformer/{side}/layers_\1/adapter/gate/gate")
+
 # ---- transformer top-level --------------------------------------------------
 _rule(r"transformer\.level_embed$", "transformer/level_embed")
 _rule(r"transformer\.tgt_embed\.weight$", "transformer/tgt_embed")
