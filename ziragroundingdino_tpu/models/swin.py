@@ -200,6 +200,38 @@ def interpolate_mask_nearest(mask: jnp.ndarray, out_h: int, out_w: int) -> jnp.n
     return mask[:, ys][:, :, xs]
 
 
+class PatchEmbed(nn.Module):
+    """Patch embedding computed as space-to-depth + matmul: a 3-channel-input
+    strided conv is layout-hostile on TPU (~1.7 ms at 800x1216, measured)
+    while the equivalent [ps*ps*3, C] matmul is ~free. Params keep the conv
+    kernel shape [ps, ps, 3, C] for checkpoint-key fidelity
+    (`swin_transformer.py:459-500`); the row-major (i, j, c) kernel flatten
+    matches the patch flatten order exactly, so numerics are identical to
+    the conv up to matmul accumulation order."""
+
+    features: int
+    patch: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, pixels: jnp.ndarray) -> jnp.ndarray:
+        b, h0, w0, cin = pixels.shape
+        ps = self.patch
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (ps, ps, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        cdt = self.dtype or pixels.dtype
+        xb = pixels.astype(cdt)
+        patches = xb.reshape(b, h0 // ps, ps, w0 // ps, ps, cin)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ps * ps * cin)
+        y = jnp.dot(
+            patches, kernel.astype(cdt).reshape(ps * ps * cin, self.features),
+            preferred_element_type=cdt,
+        )
+        return y.reshape(b, h0 // ps, w0 // ps, self.features) + bias.astype(cdt)
+
+
 class SwinTransformer(nn.Module):
     """The full backbone. Input NHWC image + validity mask; output a list of
     (feature [B,h,w,C], mask [B,h,w]) per out_index."""
@@ -216,11 +248,16 @@ class SwinTransformer(nn.Module):
         ps = cfg.patch_size
         assert h0 % ps == 0 and w0 % ps == 0, "pad image buckets to patch multiples"
 
-        # patch embed: strided conv + LN (`swin_transformer.py:459-500`)
-        x = nn.Conv(
-            cfg.embed_dim, (ps, ps), strides=(ps, ps), padding="VALID",
-            dtype=self.dtype, name="patch_embed_proj",
-        )(pixels.astype(self.dtype or pixels.dtype))
+        # patch embed: strided conv + LN (`swin_transformer.py:459-500`).
+        # Computed as space-to-depth + matmul: a 3-channel-input conv is
+        # layout-hostile on TPU (~1.7 ms at 800x1216, measured) while the
+        # equivalent [ps*ps*3, C] matmul is ~free. Params keep the conv
+        # kernel shape for checkpoint-key fidelity; the row-major (i, j, c)
+        # flatten below matches the patch flatten order exactly.
+        x = PatchEmbed(
+            features=cfg.embed_dim, patch=ps, dtype=self.dtype,
+            name="patch_embed_proj",
+        )(pixels)
         x = LayerNorm(name="patch_embed_norm")(x)
 
         dims = cfg.num_features
