@@ -396,6 +396,15 @@ def build_tiny_reference_model(wp_tokenizer, max_text_len: int = 32, seed: int =
             model = build_dual_zero_rep_branch_groundingdino(
                 tiny_reference_zira_args(max_text_len))
             model.device = "cpu"  # ctor defaults to "cuda" (`:166`)
+        elif kind == "multilayer":
+            from groundingdino.models.GroundingDINO.groundingdino_dual_zero_rep_multilayer_branch import (
+                build_dual_zero_rep_multi_layer_branch_groundingdino,
+            )
+
+            model = build_dual_zero_rep_multi_layer_branch_groundingdino(
+                tiny_reference_zira_args(max_text_len))
+            if hasattr(model, "device"):
+                model.device = "cpu"
         elif kind == "repconvbn":
             from groundingdino.models.GroundingDINO.groundingdino_repconvbn import (
                 build_repconvbn_groundingdino,

@@ -395,3 +395,59 @@ def test_cat_full_model_oracle(wp):
                              - captured["boxes"]))
     assert cls_diff < 2e-3, f"logits diverge: {cls_diff}"
     assert box_diff < 2e-4, f"boxes diverge: {box_diff}"
+
+
+def test_multilayer_full_model_oracle(wp):
+    """Multilayer-branch variant (`groundingdino_dual_zero_rep_multilayer_
+    branch.py`): RepZeroLinear language adapter + RepZeroConv2dGN vision
+    adapters (post-projection placement, `:575-576`); freeze weights
+    randomized so their conversion is load-bearing. Eval forward uses the
+    freeze branches only (`:100,139`)."""
+    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="multilayer")
+
+    g = torch.Generator().manual_seed(17)
+    with torch.no_grad():
+        ref.rep_language_adapter.freeze_linear.weight.normal_(0, 0.05, generator=g)
+        ref.rep_language_adapter.freeze_linear.bias.normal_(0, 0.05, generator=g)
+        for m in ref.input_proj_conv_adapter:
+            m.freeze_conv.weight.normal_(0, 0.05, generator=g)
+            m.freeze_conv.bias.normal_(0, 0.05, generator=g)
+
+    captured = {}
+
+    class _Stop(Exception):
+        pass
+
+    def fake_dt(box_cls, box_pred, image_sizes):
+        captured["logits"] = box_cls.numpy()
+        captured["boxes"] = box_pred.numpy()
+        raise _Stop
+
+    ref.dt_inference = fake_dt
+    rng = np.random.RandomState(0)
+    h, w = 64, 96
+    raw = rng.randint(0, 255, size=(3, h, w)).astype(np.float32)
+    with torch.no_grad(), pytest.raises(_Stop):
+        ref([{"image": torch.from_numpy(raw), "captions": "cat.dog.",
+              "height": h, "width": w}])
+
+    cfg = tiny_config(modelname="dualzerorepmultilayerbranchgroundingdino",
+                      cet_middle_dim=16)
+    model = GroundingDINO(cfg=cfg)
+    tb, text = _our_text(wp, "cat.dog.")
+    pm = np.array(ref.pixel_mean, np.float32)
+    ps = np.array(ref.pixel_std, np.float32)
+    jp = jnp.asarray(((raw.transpose(1, 2, 0) - pm) / ps)[None])
+    jm = jnp.ones((1, h, w), bool)
+    params = _convert_into(model, ref, jp, jm, text)
+    out = model.apply({"params": params}, jp, jm, text, train=False)
+
+    n_cls = 2
+    j_cls = np.asarray(class_logits_from_tokens(
+        out["pred_logits"], jnp.asarray(np.asarray(tb.cate_to_token_mask))),
+        np.float32)
+    cls_diff = np.max(np.abs(j_cls[..., :n_cls] - captured["logits"][..., :n_cls]))
+    box_diff = np.max(np.abs(np.asarray(out["pred_boxes"], np.float32)
+                             - captured["boxes"]))
+    assert cls_diff < 2e-3, f"per-class logits diverge: {cls_diff}"
+    assert box_diff < 2e-4, f"boxes diverge: {box_diff}"
