@@ -94,7 +94,7 @@ def main():
 
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params["params"],
                        opt_state=tx.init(params["params"]))
-    step = make_train_step(Wrap, tx, matcher_impl="jax")
+    step = make_train_step(Wrap, tx, matcher_impl="jax", trainable=mask)
 
     key = jax.random.PRNGKey(0)
     t0 = time.time()

@@ -65,8 +65,8 @@ def main():
                     help="json file {'model': {...}, 'data': {...}} applied "
                          "on top of the preset — tiny-config dev runs/tests")
     ap.add_argument("--no-remat", action="store_true",
-                    help="disable encoder remat: ~12%% faster steps (375 vs "
-                         "421 ms @ b=1 800x1216 on v5e, bench_train.py) but "
+                    help="disable encoder remat: ~14%% faster steps (284 vs "
+                         "329 ms @ b=1 800x1216 on v5e, bench_train.py) but "
                          "more activation memory — fine at b=1, may OOM at "
                          "b>=2 with the largest shape buckets")
     args = ap.parse_args()
@@ -206,7 +206,7 @@ def main():
         state = TrainState(step=jnp.zeros((), jnp.int32), params=task_params,
                            opt_state=tx.init(task_params),
                            ema_params=task_params if ema_decay else None)
-        base_step = make_train_step(Wrap, tx, ema_decay=ema_decay)
+        base_step = make_train_step(Wrap, tx, ema_decay=ema_decay, trainable=mask)
         if mesh is None:
             step = base_step
         else:

@@ -238,3 +238,44 @@ def test_sharded_inference_8dev(setup):
     short = jax.tree_util.tree_map(lambda x: np.asarray(x)[:3], batch8)
     padded = pad_batch_to(short, 8)
     assert padded["pixels"].shape[0] == 8
+
+
+def test_trainable_mask_step_matches_unmasked(setup):
+    """`make_train_step(trainable=...)` stops gradients into frozen leaves at
+    trace time (XLA never emits their weight-grad matmuls); the resulting
+    updates must be bit-identical to the optimizer-side-only masking."""
+    cfg, model, params, batch = setup
+    mask = trainable_mask(params["params"], ZIRA_TRAINABLE_PATTERNS, freeze_all=True)
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-2, grad_clip=0.1), ScheduleConfig(max_iter=10),
+        params["params"], trainable=mask,
+    )
+
+    class Wrap:
+        cfg = model.cfg
+
+        @staticmethod
+        def apply(p, *a, **k):
+            return model.apply({"params": p}, *a, **k)
+
+    def run(trainable):
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32), params=params["params"],
+            opt_state=tx.init(params["params"]),
+        )
+        step = make_train_step(Wrap, tx, donate=False, trainable=trainable)
+        s1, m = step(state, batch, jax.random.PRNGKey(3))
+        return s1.params, float(m["total_loss"]), float(m["grad_norm"])
+
+    p_masked, loss_m, gn_m = run(mask)
+    p_plain, loss_p, gn_p = run(None)
+    assert loss_m == pytest.approx(loss_p, rel=1e-6)
+    # grad_norm: plain computes over ALL leaves BEFORE the optimizer zeroes
+    # frozen ones... both paths clip inside tx identically, so params match
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), p_masked, p_plain
+    )
+    worst = max(jax.tree_util.tree_leaves(diffs))
+    # not bit-identical: removing the frozen-leaf backward ops changes fp32
+    # summation order in the surviving grads; must agree to fp32 noise
+    assert worst < 1e-4, f"masked vs unmasked updates diverge: {worst}"

@@ -82,12 +82,17 @@ def _quad_table_adjoint(d_table: jnp.ndarray, spatial_shapes, B: int, H: int, D:
         qh, qw = h_l + 1, w_l + 1
         dq = d_table[:, :, off:off + qh * qw].reshape(B, H, qh, qw, 4, D)
         off += qh * qw
-        d_vp = jnp.zeros((B, H, h_l + 2, w_l + 2, D), dq.dtype)
-        d_vp = d_vp.at[:, :, :-1, :-1].add(dq[..., 0, :])
-        d_vp = d_vp.at[:, :, :-1, 1:].add(dq[..., 1, :])
-        d_vp = d_vp.at[:, :, 1:, :-1].add(dq[..., 2, :])
-        d_vp = d_vp.at[:, :, 1:, 1:].add(dq[..., 3, :])
-        parts.append(d_vp[:, :, 1:-1, 1:-1].reshape(B, H, h_l * w_l, D))
+        # quad[Y, X] packs (v[Y-1,X-1], v[Y-1,X], v[Y,X-1], v[Y,X]), so the
+        # adjoint at v[y, x] is a pure 4-slice sum — no scatter/pad (the
+        # earlier .at[].add chain lowered to ~0.5 ms dynamic-update-slices
+        # per (level, corner), ~38 ms per train step on v5e)
+        d_v = (
+            dq[:, :, 1:, 1:, 0, :]
+            + dq[:, :, 1:, :-1, 1, :]
+            + dq[:, :, :-1, 1:, 2, :]
+            + dq[:, :, :-1, :-1, 3, :]
+        )
+        parts.append(d_v.reshape(B, H, h_l * w_l, D))
     return jnp.swapaxes(jnp.concatenate(parts, axis=2), 1, 2)
 
 
@@ -469,7 +474,7 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
     w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
     g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
 
-    def per_bh(_, xs):
+    def per_bh(xs):
         tb, ci, w4c, g4c = xs  # [sq,4D], [Q,K], [Q,K,4], [Q,4D]
         rows = jax.lax.gather(
             tb, ci.reshape(-1, 1), _GATHER_DNUMS, slice_sizes=(1, 4 * D),
@@ -487,11 +492,21 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
             d_w_wide.reshape(-1, 4 * D).astype(jnp.float32), foldT,
             preferred_element_type=jnp.float32,
         ).reshape(Q, k, 4)
-        return None, (d_tb, d_w4c)
+        return d_tb, d_w4c
 
-    _, (d_table, d_w4) = jax.lax.scan(
-        per_bh, None, (table_bh, idx_bh, w4_bh, g4_bh)
-    )  # [B*H, sq, 4D], [B*H, Q, K, 4]
+    if B * H <= 16:
+        # unrolled: the per-(b,h) chains are independent, so the scheduler
+        # can overlap gathers/reduces with the (dominant) scatters across
+        # chains — measured ~6% off the 6-layer fwd+bwd vs lax.scan
+        parts = [per_bh((table_bh[i], idx_bh[i], w4_bh[i], g4_bh[i]))
+                 for i in range(B * H)]
+        d_table = jnp.stack([p[0] for p in parts])
+        d_w4 = jnp.stack([p[1] for p in parts])
+    else:
+        _, (d_table, d_w4) = jax.lax.scan(
+            lambda _, xs: (None, per_bh(xs)), None,
+            (table_bh, idx_bh, w4_bh, g4_bh),
+        )  # [B*H, sq, 4D], [B*H, Q, K, 4]
     d_w4 = jnp.moveaxis(d_w4.reshape(B, H, Q, k, 4), 1, 2)  # [B,Q,H,K,4]
 
     d_value = _quad_table_adjoint(

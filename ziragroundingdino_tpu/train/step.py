@@ -96,13 +96,26 @@ def make_train_step(
     matcher_impl: str = "jax",
     ema_decay: Optional[float] = None,
     donate: bool = True,
+    trainable: Optional[Any] = None,
 ):
-    """Returns jitted (state, batch, rng) -> (state, metrics)."""
+    """Returns jitted (state, batch, rng) -> (state, metrics).
+
+    `trainable` (bool pytree over params) stops gradients INTO frozen leaves
+    at trace time, so XLA never emits their weight-gradient matmuls — the
+    reference's requires_grad=False equivalent (`groundingdino_dual_zero_
+    rep_branch.py:722-737`); the optimizer's set_to_zero partition remains
+    the safety net when no mask is given. Activation gradients still flow
+    THROUGH frozen modules (side branches upstream need them)."""
 
     def step_fn(state: TrainState, batch, rng):
         rngs = {"dropout": rng, "gating": jax.random.fold_in(rng, 1)}
 
         def loss_fn(params):
+            if trainable is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p, t: p if t else jax.lax.stop_gradient(p),
+                    params, trainable,
+                )
             return compute_losses(
                 model, params, batch, train=True,
                 matcher_impl=matcher_impl, rngs=rngs,
