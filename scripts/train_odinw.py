@@ -66,9 +66,8 @@ def main():
                          "on top of the preset — tiny-config dev runs/tests")
     ap.add_argument("--no-remat", action="store_true",
                     help="disable encoder remat: ~14%% faster steps (284 vs "
-                         "329 ms @ b=1 800x1216 on v5e, bench_train.py) but "
-                         "more activation memory — fine at b=1, may OOM at "
-                         "b>=2 with the largest shape buckets")
+                         "329 ms @ b=1; 575 ms @ b=2, same per-image — both "
+                         "fit v5e HBM at 800x1216, bench_train.py)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -98,6 +97,12 @@ def main():
     import numpy as np
     import jax
     import jax.numpy as jnp
+
+    # explicit platform override (tests / CPU dev runs): the environment may
+    # pre-import jax pointed at an accelerator, but the backend is not
+    # initialized until first use, so config.update still wins here
+    if os.environ.get("ZGDINO_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["ZGDINO_PLATFORM"])
 
     from ziragroundingdino_tpu.config import (
         DataConfig, OptimizerConfig, ScheduleConfig, TrainConfig,

@@ -100,7 +100,10 @@ def _write_coco_task(root, class_names, n_train=6, n_test=3, seed=0):
 
 
 def _run(args, cwd=REPO, timeout=2400):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # ZGDINO_PLATFORM: the image's sitecustomize pre-imports jax pointed at
+    # the TPU tunnel and may clobber JAX_PLATFORMS; the driver honors this
+    # explicit override instead
+    env = dict(os.environ, JAX_PLATFORMS="cpu", ZGDINO_PLATFORM="cpu")
     p = subprocess.run(
         [sys.executable] + args, cwd=cwd, env=env,
         capture_output=True, text=True, timeout=timeout,
@@ -156,3 +159,30 @@ def test_demo_inference(artifacts, tmp_path):
     assert js, files
     pred = json.loads((out / js[0]).read_text())
     assert "boxes" in pred or "predictions" in pred or isinstance(pred, list), pred
+
+
+def test_train_odinw_mesh_data_parallel(artifacts, tmp_path):
+    """The driver's --mesh path: sharded params + the multi-host batch
+    assembly (single-process degenerate) over a 2-device CPU mesh."""
+    tmp, ckpt, vocab, cfg_json = artifacts
+    droot = tmp_path / "odinw"
+    # ODINW_PATHS maps Raccoon to a nested export directory
+    _write_coco_task(
+        str(droot / "Raccoon" / "Raccoon.v38-416x416-resize.coco"),
+        ["bird", "boat"], seed=3)
+    out = tmp_path / "out_mesh"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", ZGDINO_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    p = subprocess.run(
+        [sys.executable, "scripts/train_odinw.py",
+         "--checkpoint", ckpt, "--vocab", vocab,
+         "--datasets-root", str(droot),
+         "--suite", "odinw13", "--tasks", "Raccoon",
+         "--output-dir", str(out), "--batch-size", "2",
+         "--mesh", "2",
+         "--fast-dev-run", "--config-overrides", cfg_json],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert p.returncode == 0, f"exit {p.returncode}\n{p.stdout}\n{p.stderr[-4000:]}"
+    report = json.loads((out / "result.json").read_text())
+    assert "AP/Raccoon" in report, report
