@@ -64,21 +64,11 @@ def main():
     model_ov = {}
     dcfg = None
     if args.config_overrides:
-        from ziragroundingdino_tpu.config import BertConfig, DataConfig, SwinConfig
+        from ziragroundingdino_tpu.config import DataConfig, load_config_overrides
 
-        def tuplify(v):
-            return tuple(tuplify(x) for x in v) if isinstance(v, list) else v
-
-        with open(args.config_overrides) as f:
-            ov = json.load(f)
-        model_ov = {k: tuplify(v) for k, v in ov.get("model", {}).items()}
-        if isinstance(model_ov.get("swin_config"), (dict, tuple)):
-            model_ov["swin_config"] = SwinConfig(
-                **{k: tuplify(v) for k, v in ov["model"]["swin_config"].items()})
-        if isinstance(model_ov.get("bert_config"), dict):
-            model_ov["bert_config"] = BertConfig(**ov["model"]["bert_config"])
-        if ov.get("data"):
-            dcfg = DataConfig(**{k: tuplify(v) for k, v in ov["data"].items()})
+        model_ov, data_ov = load_config_overrides(args.config_overrides)
+        if data_ov:
+            dcfg = DataConfig(**data_ov)
 
     os.makedirs(args.output_dir, exist_ok=True)
     lm = load_model(args.checkpoint, args.vocab, preset=args.preset, **model_ov)

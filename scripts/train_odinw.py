@@ -19,6 +19,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 import argparse
+import hashlib
 import json
 import logging
 import os
@@ -77,7 +78,15 @@ def main():
     # anything (ADVICE r1; reference has no equivalent guard)
     stamp = {k: getattr(args, k) for k in (
         "suite", "shot", "preset", "seed", "lr", "batch_size",
-        "softfreeze_factor", "shuffle", "ema_decay")}
+        "softfreeze_factor", "shuffle", "ema_decay",
+        # chain-affecting too: task subset drives per-task seeds/skip logic,
+        # replay/eval-ema change what gets chained, and config overrides
+        # change the model itself (stamped by CONTENT, not path)
+        "tasks", "replay_iters", "eval_ema")}
+    if args.config_overrides:
+        with open(args.config_overrides) as f:
+            stamp["config_overrides_sha"] = hashlib.sha256(
+                f.read().encode()).hexdigest()[:16]
     os.makedirs(args.output_dir, exist_ok=True)
     stamp_path = os.path.join(args.output_dir, "run_stamp.json")
     if os.path.exists(stamp_path):
@@ -136,21 +145,9 @@ def main():
 
     model_ov, data_ov = {}, {}
     if args.config_overrides:
-        from ziragroundingdino_tpu.config import BertConfig, SwinConfig
+        from ziragroundingdino_tpu.config import load_config_overrides
 
-        def tuplify(v):
-            return tuple(tuplify(x) for x in v) if isinstance(v, list) else v
-
-        with open(args.config_overrides) as f:
-            ov = json.load(f)
-        model_ov = {k: tuplify(v) for k, v in ov.get("model", {}).items()}
-        if isinstance(model_ov.get("swin_config"), tuple) or isinstance(
-                model_ov.get("swin_config"), dict):
-            model_ov["swin_config"] = SwinConfig(
-                **{k: tuplify(v) for k, v in ov["model"]["swin_config"].items()})
-        if isinstance(model_ov.get("bert_config"), dict):
-            model_ov["bert_config"] = BertConfig(**ov["model"]["bert_config"])
-        data_ov = {k: tuplify(v) for k, v in ov.get("data", {}).items()}
+        model_ov, data_ov = load_config_overrides(args.config_overrides)
 
     # remat the encoder in training (default): recompute activations in the
     # backward. With the MSDA custom VJP the gathered tensors are never saved
@@ -221,9 +218,9 @@ def main():
 
             def step(st, batch, rng):
                 # per-host shard -> global data-sharded array; on one process
-                # this degenerates to device_put(batch_sharding) (the loader
-                # yields this process's shard of the global batch — see
-                # shard_indices_for_process)
+                # this is a device-to-device reshard. The loader yields this
+                # process's contiguous sub-slice of every global batch
+                # (data/loader.py::_index_stream).
                 batch = global_batch_from_local(batch, mesh)
                 return base_step(st, batch, rng)
         task_dir = os.path.join(args.output_dir, task.name)

@@ -368,3 +368,26 @@ class MeshConfig:
     data: int = -1  # -1: all devices
     model: int = 1
     axis_names: Tuple[str, str] = ("data", "model")
+
+
+def load_config_overrides(path: str):
+    """Hydrate a `{"model": {...}, "data": {...}}` overrides json (the CLI
+    --config-overrides surface): json lists become tuples, nested
+    swin_config/bert_config dicts become their dataclasses. Returns
+    (model_overrides: dict, data_overrides: dict)."""
+    import json as _json
+
+    def tuplify(v):
+        return tuple(tuplify(x) for x in v) if isinstance(v, list) else v
+
+    with open(path) as f:
+        ov = _json.load(f)
+    model_ov = {k: tuplify(v) for k, v in ov.get("model", {}).items()}
+    if isinstance(ov.get("model", {}).get("swin_config"), dict):
+        model_ov["swin_config"] = SwinConfig(
+            **{k: tuplify(v) for k, v in ov["model"]["swin_config"].items()})
+    if isinstance(ov.get("model", {}).get("bert_config"), dict):
+        model_ov["bert_config"] = BertConfig(
+            **{k: tuplify(v) for k, v in ov["model"]["bert_config"].items()})
+    data_ov = {k: tuplify(v) for k, v in ov.get("data", {}).items()}
+    return model_ov, data_ov

@@ -103,6 +103,12 @@ class CocoMeanAP:
     def __init__(self, num_classes: int, max_dets: int = 100):
         self.num_classes = num_classes
         self.max_dets = max_dets
+        # AR@k labels track the actual det cap (pycocotools params.maxDets
+        # is (1, 10, maxDet)); a non-default cap must not masquerade as
+        # "AR@100"
+        self.recall_max_dets = tuple(
+            k for k in self.recall_max_dets if k < max_dets
+        ) + (max_dets,)
         self.entries: List[Tuple] = []
         self._cache = None
 
@@ -193,8 +199,10 @@ class CocoMeanAP:
                 n_gt[j] = len(p["gb"])
                 db[j, : n_dt[j]] = p["db"]
                 gb[j, : n_gt[j]] = p["gb"]
+            # padded det rows need no mask: their IoU row is all zeros (zero
+            # boxes) so they never match, and the flat scatter below copies
+            # only the first n_dt columns per pair
             g_valid = np.arange(g_max)[None, :] < n_gt[:, None]
-            d_valid = np.arange(d_max)[None, :] < n_dt[:, None]
             # IoU once per chunk, shared across area ranges
             if d_max and g_max:
                 lt = np.maximum(db[:, :, None, :2], gb[:, None, :, :2])

@@ -397,6 +397,23 @@ def default_scale_reset(path: str, sub) -> float:
     return LAN_SCALE  # == VIS_SCALE == 0.1
 
 
+def scale_reset_for_cfg(cfg):
+    """Post-merge scaling reset honoring the config's init values
+    (`zira_lan_scale` / `zira_vis_scale`); the reference's `__rep__`
+    re-creates each module's scaling at its own init."""
+
+    def reset(path, sub):
+        if isinstance(sub, dict) and "freeze_gn_scale" in sub:
+            return 1.0
+        if "rep_language_adapter" in path:
+            return 1.0  # multilayer variant inits scaling at 1.0
+        if "rep_linear_adapter" in path:
+            return cfg.zira_lan_scale
+        return cfg.zira_vis_scale
+
+    return reset
+
+
 def rep_merge(params, zero_value: float = ZERO_VALUE, scale_reset=default_scale_reset):
     """Pure-function `__rep__()` over a whole param tree: for every RepZero
     module, ``freeze += scaling * branch``; branch re-zeroed to `zero_value`,
@@ -420,7 +437,11 @@ def rep_merge(params, zero_value: float = ZERO_VALUE, scale_reset=default_scale_
             )
             new["down_kernel"] = jnp.full_like(sub["down_kernel"], zero_value)
             new["up_kernel"] = jnp.full_like(sub["up_kernel"], zero_value)
-            new["scaling"] = jnp.full_like(s, LAN_SCALE)
+            # reset to the module's configured init via the callback (like
+            # every other rep module) — NOT a hardcoded LAN_SCALE: a run
+            # with zira_lan_scale != 0.1 must resume each task at its own
+            # init, matching the reference's __rep__ re-creation
+            new["scaling"] = jnp.full_like(s, scale_reset(path, sub))
             return new
         if is_rep_module(sub):
             s = sub["scaling"]

@@ -52,7 +52,14 @@ def shard_indices_for_process(
 ) -> np.ndarray:
     """Rank-strided index shard (torch DistributedSampler semantics: same
     seeded permutation on every process, then stride by process count with
-    rank offset; pad-to-even by wrapping when not dropping the tail)."""
+    rank offset; pad-to-even by wrapping when not dropping the tail).
+
+    NOTE: the training DataLoader uses a different, equivalent scheme — each
+    process takes its CONTIGUOUS sub-slice of every seeded global batch
+    (`data/loader.py::_index_stream`), which keeps global batch membership
+    identical across process counts. This epoch-level sampler is for
+    eval/epoch-style sweeps where per-process passes over a fixed split are
+    wanted instead."""
     rng = np.random.RandomState((seed * 1_000_003 + epoch) % (2**31 - 1))
     order = rng.permutation(n_items) if shuffle else np.arange(n_items)
     n, r = process_count(), process_index()
@@ -78,10 +85,12 @@ def global_batch_from_local(
     """
 
     def assemble(x):
-        x = np.asarray(x)
         sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
         if process_count() == 1:
+            # device_put reshards committed jax.Arrays device-to-device;
+            # forcing np.asarray here would round-trip through the host
             return jax.device_put(x, sharding)
+        x = np.asarray(x)  # make_array_* consumes process-local host data
         global_shape = (x.shape[0] * process_count(),) + x.shape[1:]
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 

@@ -255,8 +255,11 @@ def run_task(
     trainer.train(start, task.max_iter)
     params = extract(trainer.state)
 
-    # after_train hooks (`train_multidatasets.py:221-246`)
-    params = rep_merge(params)
+    # after_train hooks (`train_multidatasets.py:221-246`); scaling resets
+    # to the CONFIG's init values, not the library defaults
+    from ziragroundingdino_tpu.models.zira import scale_reset_for_cfg
+
+    params = rep_merge(params, scale_reset=scale_reset_for_cfg(model.cfg))
     state.prompt_memory = add_cls_prompt(
         state.prompt_memory, model.cfg, params, tokenizer, task.class_names,
         max_text_len=model.cfg.max_text_len,
@@ -322,7 +325,10 @@ def run_replay_phase(
         if (it + 1) % 20 == 0 or it == 0:
             logger.info("replay iter %d loss %.6f", it + 1, float(total))
     # merge the replay-phase side-branch deltas like any other task
-    state.params = rep_merge(jax.device_get(params))
+    from ziragroundingdino_tpu.models.zira import scale_reset_for_cfg
+
+    state.params = rep_merge(jax.device_get(params),
+                             scale_reset=scale_reset_for_cfg(cfg))
     return state
 
 

@@ -123,7 +123,11 @@ class Trainer:
             batch = next(self.loader)
             batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "real_count"}
             t1 = time.perf_counter()
-            self.rng, sub = jax.random.split(self.rng)
+            # per-iteration key derived by COUNTER, not by sequential splits:
+            # a mid-task resume at start_iter then draws the same dropout/
+            # gating randomness an uninterrupted run would, without having to
+            # checkpoint the key (`train_net.py:298-305` resume semantics)
+            sub = jax.random.fold_in(self.rng, it)
             self.state, metrics = self.step_fn(self.state, batch, sub)
             t_data += t1 - t0  # accumulated EVERY iteration over the period
             t_step += time.perf_counter() - t1
