@@ -124,7 +124,7 @@ def main():
         replay_memory_loss, run_task, final_report,
     )
     from ziragroundingdino_tpu.train.optim import (
-        ZIRA_TRAINABLE_PATTERNS, build_optimizer, trainable_mask,
+        build_optimizer, trainable_mask, trainable_patterns_for_cfg,
     )
     from ziragroundingdino_tpu.train.step import TrainState, make_train_step
     from ziragroundingdino_tpu.train.trainer import Trainer
@@ -195,7 +195,8 @@ def main():
     def make_trainer(task_params, task):
         from ziragroundingdino_tpu.train.trainer import latest_checkpoint
 
-        mask = trainable_mask(task_params, ZIRA_TRAINABLE_PATTERNS, freeze_all=cfg.freeze_all)
+        mask = trainable_mask(task_params, trainable_patterns_for_cfg(cfg),
+                              freeze_all=cfg.freeze_all)
         tx = build_optimizer(
             OptimizerConfig(lr=args.lr, grad_clip=0.1,
                             lr_factors=(("freeze", args.softfreeze_factor),)),

@@ -1,6 +1,7 @@
 """Aux subsystems: VOC AP, SLConfig shim, writers, metric logger."""
 
 import logging
+import os
 
 import numpy as np
 import pytest
@@ -62,3 +63,34 @@ def test_writers_and_meters(caplog):
     for v in (1.0, 2.0, 3.0):
         sv.update(v)
     assert sv.avg == 2.5 and sv.global_avg == 2.0
+
+
+@pytest.mark.skipif(not os.path.isdir("/root/reference"), reason="no reference")
+def test_slconfig_shim_loads_every_reference_config():
+    """Every shipped reference SLConfig file must load through the shim with
+    the right model dispatch and no silently-dropped MODEL knobs (the known
+    engine-level/DN keys are the allowed ignore set)."""
+    import glob
+
+    from ziragroundingdino_tpu.utils.slconfig import _KEY_MAP
+
+    allowed_ignored = {k for k, v in _KEY_MAP.items() if v is None}
+    files = sorted(glob.glob("/root/reference/groundingdino/config/GroundingDINO_*.py"))
+    assert len(files) >= 11, files
+    for f in files:
+        cfg, ignored = config_from_slconfig(f)
+        assert cfg.modelname in (
+            "groundingdino", "dtgroundingdino", "catgroundingdino",
+            "dualzerorepbranchgroundingdino",
+            "dualzerorepmultilayerbranchgroundingdino",
+            "repgroundingdino", "repconvbngroundingdino",
+        ), (f, cfg.modelname)
+        unknown = set(ignored) - allowed_ignored
+        assert not unknown, (os.path.basename(f), sorted(unknown))
+    # a couple of spot facts through real files
+    cfg, _ = config_from_slconfig(
+        "/root/reference/groundingdino/config/GroundingDINO_SwinT_OGC_cat.py")
+    assert cfg.modelname == "catgroundingdino" and cfg.use_prompt is True
+    cfg, _ = config_from_slconfig(
+        "/root/reference/groundingdino/config/GroundingDINO_SwinT_OGC_rep.py")
+    assert cfg.use_cet and cfg.use_project_adapter

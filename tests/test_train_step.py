@@ -279,3 +279,17 @@ def test_trainable_mask_step_matches_unmasked(setup):
     # not bit-identical: removing the frozen-leaf backward ops changes fp32
     # summation order in the surviving grads; must agree to fp32 noise
     assert worst < 1e-4, f"masked vs unmasked updates diverge: {worst}"
+
+
+def test_trainable_patterns_for_cfg():
+    """PET-baseline unfreeze matrix (`groundingdino_dt.py:775-783`)."""
+    from ziragroundingdino_tpu.config import MODEL_PRESETS
+    from ziragroundingdino_tpu.train.optim import trainable_patterns_for_cfg
+
+    assert trainable_patterns_for_cfg(MODEL_PRESETS["dualzerorepbranchgroundingdino"]) == ("adapter",)
+    assert set(trainable_patterns_for_cfg(MODEL_PRESETS["berttune"])) >= {"adapter", "bert", "feat_map"}
+    assert set(trainable_patterns_for_cfg(MODEL_PRESETS["linearprobe"])) >= {"class_embed", "bbox_embed"}
+    pt = MODEL_PRESETS["projecttune"]
+    # project TUNING trains the raw input projections — no ZeroConv branches
+    assert pt.use_project_tuning and not pt.use_project_adapter
+    assert "input_proj" in trainable_patterns_for_cfg(pt)

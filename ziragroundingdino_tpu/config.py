@@ -173,6 +173,10 @@ class GroundingDINOConfig:
     use_bert_tuning: bool = False
     use_cls_linear: bool = False
     use_prompt_tuning: bool = False
+    # PET baseline: train the RAW input projections (`groundingdino_dt.py:
+    # 781-782` unfreezes "input_proj"), distinct from use_project_adapter's
+    # ZeroConv side branches
+    use_project_tuning: bool = False
 
     # pixel normalization — the reference model owns this
     # (`groundingdino_dt.py::normalizer`, mean/std from the dt config);
@@ -264,7 +268,8 @@ MODEL_PRESETS: Dict[str, GroundingDINOConfig] = {
                         use_zero_inter_loss=False, use_project_adapter=False,
                         use_zero_inter_loss_for_conv=False),
     # projection tuning (`..._projecttuning.py`)
-    "projecttune": _preset(modelname="dtgroundingdino", use_project_adapter=True, use_cet=False,
+    "projecttune": _preset(modelname="dtgroundingdino", use_project_tuning=True,
+                           use_project_adapter=False, use_cet=False,
                            use_zero_inter_loss=False, use_zero_inter_loss_for_conv=False),
     # conditional adapter tuning / CAT (`GroundingDINO_SwinT_OGC_cat.py`)
     "catgroundingdino": _preset(modelname="catgroundingdino", use_adapter=True, use_cet=False,

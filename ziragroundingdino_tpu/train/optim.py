@@ -49,6 +49,22 @@ def label_tree(params, fn: Callable[[str], str]):
 ZIRA_TRAINABLE_PATTERNS = ("adapter",)
 
 
+def trainable_patterns_for_cfg(cfg) -> Tuple[str, ...]:
+    """The reference's full before_train unfreeze matrix
+    (`groundingdino_dt.py:775-783`): "adapter" always, plus per-PET-baseline
+    module groups. Prompt memory lives outside the param tree here
+    (IncrementalState.prompt_memory), so use_prompt_tuning adds nothing to
+    the PARAM mask."""
+    pats = ["adapter"]
+    if getattr(cfg, "use_bert_tuning", False):
+        pats += ["bert", "feat_map"]
+    if getattr(cfg, "use_cls_linear", False):
+        pats += ["class_embed", "bbox_embed"]
+    if getattr(cfg, "use_project_tuning", False):
+        pats += ["input_proj"]
+    return tuple(pats)
+
+
 def trainable_mask(params, patterns: Sequence[str], freeze_all: bool = True):
     """bool pytree: True = optimize this leaf. freeze_all=False trains
     everything (the finetune preset, `GroundingDINO_SwinT_OGC_dt_finetuning`).

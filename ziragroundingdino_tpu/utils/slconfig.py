@@ -35,6 +35,13 @@ _KEY_MAP = {
     "device": None,
     "max_labels": None,
     "lr_backbone": None,
+    # always None in shipped configs; freezing is optimizer-side here
+    # (`train/optim.py::trainable_mask`)
+    "backbone_freeze_keywords": None,
+    # DN machinery is unused by every shipped driver (PARITY.md)
+    "dn_labelbook_size": None,
+    # always False (post-norm); the transformer implements exactly that
+    "pre_norm": None,
 }
 
 
