@@ -186,3 +186,27 @@ def test_train_odinw_mesh_data_parallel(artifacts, tmp_path):
     assert p.returncode == 0, f"exit {p.returncode}\n{p.stdout}\n{p.stderr[-4000:]}"
     report = json.loads((out / "result.json").read_text())
     assert "AP/Raccoon" in report, report
+
+
+def test_eval_coco_cli(artifacts, tmp_path):
+    """Standalone evaluator CLI (`train_net.py --eval-only` equivalent)."""
+    tmp, ckpt, vocab, cfg_json = artifacts
+    droot = tmp_path / "ds"
+    # 8 eval images: the timed-throughput keys require batches beyond
+    # the 2-batch warmup
+    _write_coco_task(str(droot), ["cat", "dog"], n_train=1, n_test=8, seed=5)
+    out = tmp_path / "metrics.json"
+    p = _run([
+        "scripts/eval_coco.py",
+        "--checkpoint", ckpt, "--vocab", vocab,
+        "--json", str(droot / "test" / "annotations_without_background.json"),
+        "--image-root", str(droot / "test"),
+        "--preset", "dualzerorepbranchgroundingdino",
+        "--batch-size", "2", "--output", str(out),
+        "--config-overrides", cfg_json,
+    ])
+    res = json.loads(out.read_text())
+    for k in ("AP", "AP50", "AR@1", "AR@10", "AR@100", "images_per_sec",
+              "per_category_AP"):
+        assert k in res, (k, sorted(res))
+    assert set(res["per_category_AP"]) == {"cat", "dog"}
