@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ziragroundingdino_tpu.config import DataConfig
 from ziragroundingdino_tpu.data.transforms import (
-    Sample, eval_transform, normalize, pad_to_bucket, pick_bucket,
+    Sample, eval_transform, pad_to_bucket, pick_bucket,
 )
 from ziragroundingdino_tpu.eval.postprocess import scale_to_original, top_k_detections
 from ziragroundingdino_tpu.text.masks import recover_to_cls_logits
@@ -109,11 +109,15 @@ class Predictor:
              for s in samples),
             key=lambda b: b[0] * b[1],
         )
-        pixels = np.zeros((bsz, *bucket, 3), np.float32)
+        # ship uint8 and normalize on device (4x less host->device traffic
+        # and no host fp32 normalize pass — the model's uint8 path,
+        # models/groundingdino.py; same trick as the training loader's
+        # transfer_uint8)
+        pixels = np.zeros((bsz, *bucket, 3), np.uint8)
         mask = np.zeros((bsz, *bucket), bool)
         orig = np.zeros((bsz, 2), np.int32)
         for i, s in enumerate(samples):
-            pixels[i], mask[i] = pad_to_bucket(normalize(s.image, self.dcfg), bucket)
+            pixels[i], mask[i] = pad_to_bucket(s.image.astype(np.uint8), bucket)
             orig[i] = s.orig_size
         for i in range(n, bsz):  # repeat-pad
             pixels[i], mask[i], orig[i] = pixels[n - 1], mask[n - 1], orig[n - 1]
