@@ -225,3 +225,80 @@ def test_5k_by_80_under_60s():
     dt = time.perf_counter() - t0
     assert np.isfinite(res["AP"])
     assert dt < 60.0, f"5k x 80 accumulate took {dt:.1f}s"
+
+
+def test_iscrowd_ignore_matching():
+    """pycocotools crowd semantics: detections on crowd regions are ignored
+    (dt-area IoU), crowds absorb multiple detections, and never count in
+    recall (`cocoeval.evaluateImg` + maskUtils.iou(iscrowd=1))."""
+    gt = np.array([[0, 0, 10, 10]], np.float32)          # one real cat
+    crowd = np.array([[100, 100, 200, 200]], np.float32)  # a cat crowd
+    # det B sits fully inside the crowd with a HIGHER score than the true
+    # positive A: without crowd handling it's a rank-1 FP (AP=50); with
+    # ignore-matching it vanishes (AP=100)
+    det = np.array([
+        [120, 120, 140, 140],   # B: inside crowd
+        [0, 0, 10, 10],         # A: exact TP
+        [300, 300, 310, 310],   # C: plain FP after max recall
+        [150, 150, 170, 170],   # D: second det absorbed by the SAME crowd
+    ], np.float32)
+    scores = np.array([0.95, 0.9, 0.7, 0.6], np.float32)
+    labels = np.zeros(4, np.int64)
+
+    with_crowd = CocoMeanAP(num_classes=1)
+    with_crowd.add(0, det, scores, labels, gt, np.zeros(1, np.int64),
+                   crowd_boxes=crowd, crowd_labels=np.zeros(1, np.int64))
+    res = with_crowd.summarize()
+    assert res["AP"] == pytest.approx(100.0, abs=1e-6), res
+
+    without = CocoMeanAP(num_classes=1)
+    without.add(0, det, scores, labels, gt, np.zeros(1, np.int64))
+    res2 = without.summarize()
+    assert res2["AP"] == pytest.approx(50.0, abs=1e-6), res2
+
+    # crowds alone contribute nothing (no real gt -> category absent)
+    only_crowd = CocoMeanAP(num_classes=1)
+    only_crowd.add(0, det[:1], scores[:1], labels[:1],
+                   np.zeros((0, 4), np.float32), np.zeros(0, np.int64),
+                   crowd_boxes=crowd, crowd_labels=np.zeros(1, np.int64))
+    assert np.isnan(only_crowd.summarize()["AP"])
+
+
+def test_crowd_flows_from_json_to_eval_batch(tmp_path):
+    import json as _json
+
+    from tests.common import tiny_tokenizer
+    from PIL import Image
+    from ziragroundingdino_tpu.config import DataConfig
+    from ziragroundingdino_tpu.data.coco import CocoDataset
+    from ziragroundingdino_tpu.data.loader import DataLoader
+
+    d = tmp_path / "ds"
+    d.mkdir()
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(d / "i.png")
+    _json.dump({
+        "images": [{"id": 1, "file_name": "i.png", "height": 40, "width": 60}],
+        "annotations": [
+            {"id": 1, "image_id": 1, "category_id": 1, "bbox": [0, 0, 10, 10],
+             "area": 100, "iscrowd": 0},
+            {"id": 2, "image_id": 1, "category_id": 1, "bbox": [20, 20, 30, 15],
+             "area": 450, "iscrowd": 1},
+        ],
+        "categories": [{"id": 1, "name": "cat"}],
+    }, open(d / "ann.json", "w"))
+    ds = CocoDataset.from_json(str(d / "ann.json"), str(d))
+    s = ds.load_sample(0, read_image=False)
+    assert len(s.boxes) == 1 and len(s.crowd_boxes) == 1
+    np.testing.assert_allclose(s.crowd_boxes[0], [20, 20, 50, 35])
+
+    cfg = DataConfig(num_workers=0, shape_buckets=((64, 96),), max_boxes=4,
+                     test_short_side=40, max_size=96, train_short_sides=(40,))
+    ev_loader = DataLoader(ds, tiny_tokenizer(), cfg, batch_size=1, train=False,
+                           max_text_len=32, max_categories=8)
+    batch = next(iter(ev_loader))
+    assert batch["crowd_valid"][0, 0] and not batch["crowd_valid"][0, 1]
+    # training batches carry no crowd keys (crowds never train)
+    tr_loader = DataLoader(ds, tiny_tokenizer(), cfg, batch_size=1, train=True,
+                           max_text_len=32, max_categories=8)
+    tbatch = next(iter(tr_loader))
+    assert "crowd_boxes" not in tbatch

@@ -33,6 +33,8 @@ class CocoDataset:
     cat_id_to_contiguous: Dict[int, int] = field(default_factory=dict)
     images: List[dict] = field(default_factory=list)  # coco image dicts
     anns_by_image: Dict[int, List[dict]] = field(default_factory=dict)
+    # iscrowd annotations, kept for evaluation-time ignore matching only
+    crowd_by_image: Dict[int, List[dict]] = field(default_factory=dict)
 
     @classmethod
     def from_json(
@@ -44,8 +46,13 @@ class CocoDataset:
         names = [c["name"] for c in cats]
         cat_map = {c["id"]: i for i, c in enumerate(cats)}
         anns_by_image: Dict[int, List[dict]] = {}
+        crowd_by_image: Dict[int, List[dict]] = {}
         for a in coco.get("annotations", []):
             if a.get("iscrowd", 0):
+                # crowds never train (the reference mapper drops them) but
+                # evaluation must IGNORE-match them like pycocotools, not
+                # count their detections as false positives
+                crowd_by_image.setdefault(a["image_id"], []).append(a)
                 continue
             anns_by_image.setdefault(a["image_id"], []).append(a)
         images = coco.get("images", [])
@@ -54,7 +61,7 @@ class CocoDataset:
         return cls(
             image_root=image_root, category_names=names,
             cat_id_to_contiguous=cat_map, images=images,
-            anns_by_image=anns_by_image,
+            anns_by_image=anns_by_image, crowd_by_image=crowd_by_image,
         )
 
     def __len__(self) -> int:
@@ -84,7 +91,22 @@ class CocoDataset:
             img = np.asarray(Image.open(path).convert("RGB"))
         else:
             img = np.zeros((im["height"], im["width"], 3), np.uint8)
+        crowd_boxes, crowd_labels = self.crowd_annotations(im["id"])
         return Sample(
             image=img, boxes=boxes, labels=labels,
             orig_size=(im["height"], im["width"]), image_id=im["id"],
+            crowd_boxes=crowd_boxes, crowd_labels=crowd_labels,
         )
+
+
+    def crowd_annotations(self, image_id: int):
+        """(boxes xyxy [M,4], labels [M]) of iscrowd annotations — evaluation
+        ignore-regions (pycocotools semantics)."""
+        anns = self.crowd_by_image.get(image_id, [])
+        boxes = np.asarray([a["bbox"] for a in anns], np.float32).reshape(-1, 4)
+        if boxes.size:
+            boxes[:, 2:] += boxes[:, :2]
+        labels = np.asarray(
+            [self.cat_id_to_contiguous[a["category_id"]] for a in anns], np.int64
+        )
+        return boxes, labels

@@ -91,6 +91,11 @@ def collate(
     sizes = np.zeros((b, 2), np.int32)  # true (h, w) after resize
     orig_sizes = np.zeros((b, 2), np.int32)
     image_ids = np.zeros((b,), np.int64)
+    if not train:
+        # iscrowd ignore-regions for pycocotools-parity evaluation
+        crowd_boxes = np.zeros((b, n_max, 4), np.float32)
+        crowd_labels = np.zeros((b, n_max), np.int32)
+        crowd_valid = np.zeros((b, n_max), bool)
 
     for i, s in enumerate(samples):
         if transfer_uint8:
@@ -109,6 +114,13 @@ def collate(
             gt_boxes[i, :n] = boxes_to_normalized_cxcywh(s.boxes[:n], h, w)
             gt_labels[i, :n] = s.labels[:n]
             gt_valid[i, :n] = True
+        if not train:
+            nc = min(len(s.crowd_boxes), n_max)
+            if nc:
+                crowd_boxes[i, :nc] = boxes_to_normalized_cxcywh(
+                    s.crowd_boxes[:nc], h, w)
+                crowd_labels[i, :nc] = s.crowd_labels[:nc]
+                crowd_valid[i, :nc] = True
 
     tb = tokenize_captions(
         tokenizer, list(captions), max_text_len=max_text_len,
@@ -128,6 +140,8 @@ def collate(
         "sizes": sizes,
         "orig_sizes": orig_sizes,
         "image_ids": image_ids,
+        **({"crowd_boxes": crowd_boxes, "crowd_labels": crowd_labels,
+            "crowd_valid": crowd_valid} if not train else {}),
     }
 
 

@@ -38,6 +38,11 @@ class Sample:
     # original size before any resize (for eval box rescale)
     orig_size: Tuple[int, int] = (0, 0)  # (H, W)
     image_id: int = 0
+    # iscrowd regions (eval-time ignore matching only; empty in training)
+    crowd_boxes: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0, 4), np.float32))
+    crowd_labels: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,), np.int64))
 
 
 def _resize_u8(image: np.ndarray, nh: int, nw: int) -> np.ndarray:
@@ -170,4 +175,11 @@ def eval_transform(sample: Sample, cfg: DataConfig) -> Sample:
     image, boxes = resize_shortest_edge(
         sample.image, sample.boxes, cfg.test_short_side, cfg.max_size
     )
-    return dataclasses.replace(sample, image=image, boxes=boxes)
+    crowd = sample.crowd_boxes
+    if crowd.size:
+        # scale crowd ignore-regions exactly like the gt boxes
+        h, w = sample.image.shape[:2]
+        nh, nw = image.shape[:2]
+        crowd = crowd * np.array([nw / w, nh / h, nw / w, nh / h], np.float32)
+    return dataclasses.replace(sample, image=image, boxes=boxes,
+                               crowd_boxes=crowd)

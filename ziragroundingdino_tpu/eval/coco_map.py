@@ -4,7 +4,8 @@ Implements the COCOeval bbox protocol the reference relies on
 (`evaluation/coco_evaluation.py:100-205,305` -> pycocotools COCOeval):
 IoU thresholds 0.50:0.95:0.05, 101 recall points, area ranges
 all/small/medium/large, maxDets (1, 10, 100), greedy per-category matching
-of score-sorted detections, crowd-free (the loaders drop iscrowd). Produces
+of score-sorted detections, iscrowd ignore-matching (dt-area IoU, crowds
+absorb any number of detections, excluded from recall). Produces
 the standard 12 metrics; `AP` is the headline number averaged by
 `train_multidatasets.py:552-559`. Per-category AP mirrors the table the
 reference prints at `evaluation/coco_evaluation.py:205-269`.
@@ -54,6 +55,8 @@ def _greedy_match(
     iou: np.ndarray,      # [N, D, G] zero-padded
     g_ign: np.ndarray,    # [N, G] bool, True = ignored gt (padding rows True)
     g_valid: np.ndarray,  # [N, G] bool, True = real (non-padding) gt
+    g_crowd: Optional[np.ndarray] = None,  # [N, G] bool: crowd gts stay
+                                           # matchable by multiple dets
 ) -> np.ndarray:
     """pycocotools greedy matching, vectorized over pairs x IoU thresholds.
 
@@ -86,6 +89,10 @@ def _greedy_match(
         out[:, :, r] = np.where(has, best, -1)
         taken[:] = False
         np.put_along_axis(taken, best[..., None], has[..., None], -1)
+        if g_crowd is not None:
+            # pycocotools: a crowd gt may absorb any number of detections
+            # (`if gtm[tind, gind] > 0 and not iscrowd[gind]: continue`)
+            taken &= ~g_crowd[:, None, :]
         avail &= ~taken
     return out
 
@@ -112,7 +119,11 @@ class CocoMeanAP:
         self.entries: List[Tuple] = []
         self._cache = None
 
-    def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes, gt_labels):
+    def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes,
+            gt_labels, crowd_boxes=None, crowd_labels=None):
+        """crowd_boxes/labels: iscrowd regions, ignore-matched like
+        pycocotools (dt-area IoU, never counted in recall, absorb any number
+        of detections)."""
         self.entries.append((
             image_id,
             np.asarray(det_boxes, np.float32).reshape(-1, 4),
@@ -120,6 +131,10 @@ class CocoMeanAP:
             np.asarray(det_labels, np.int64).reshape(-1),
             np.asarray(gt_boxes, np.float32).reshape(-1, 4),
             np.asarray(gt_labels, np.int64).reshape(-1),
+            np.asarray(crowd_boxes, np.float32).reshape(-1, 4)
+            if crowd_boxes is not None else np.zeros((0, 4), np.float32),
+            np.asarray(crowd_labels, np.int64).reshape(-1)
+            if crowd_labels is not None else np.zeros((0,), np.int64),
         ))
         self._cache = None
 
@@ -136,20 +151,25 @@ class CocoMeanAP:
         """Group (image, category) pairs with score-sorted, max_dets-trimmed
         detections. Returns a list of dict records."""
         pairs = []
-        for img_id, db, ds, dl, gb, gl in self.entries:
-            cats = np.union1d(np.unique(dl), np.unique(gl))
+        for img_id, db, ds, dl, gb, gl, cb, cl in self.entries:
+            cats = np.union1d(np.union1d(np.unique(dl), np.unique(gl)), np.unique(cl))
             cats = cats[(cats >= 0) & (cats < self.num_classes)]
             for c in cats:
                 dm = dl == c
                 gm = gl == c
+                cm = cl == c
                 has_dt, has_gt = bool(dm.any()), bool(gm.any())
                 if not self._include_pair(img_id, int(c), has_gt, has_dt):
                     continue
                 dbc, dsc = db[dm], ds[dm]
                 order = np.argsort(-dsc, kind="mergesort")[: self.max_dets]
+                # crowd gts go AFTER the real gts (the ignored tail, like
+                # pycocotools' ignored-last sort)
                 pairs.append({
                     "img": img_id, "cat": int(c),
-                    "db": dbc[order], "ds": dsc[order], "gb": gb[gm],
+                    "db": dbc[order], "ds": dsc[order],
+                    "gb": np.concatenate([gb[gm], cb[cm]], axis=0),
+                    "n_crowd": int(cm.sum()),
                     "ign_unmatched": self._ignore_unmatched_dets(img_id, int(c)),
                 })
         return pairs
@@ -203,6 +223,11 @@ class CocoMeanAP:
             # boxes) so they never match, and the flat scatter below copies
             # only the first n_dt columns per pair
             g_valid = np.arange(g_max)[None, :] < n_gt[:, None]
+            # crowd gts occupy the last n_crowd columns of each pair
+            n_crowd = np.asarray([p["n_crowd"] for p in chunk], np.int64)
+            g_crowd = g_valid & (
+                np.arange(g_max)[None, :] >= (n_gt - n_crowd)[:, None]
+            )
             # IoU once per chunk, shared across area ranges
             if d_max and g_max:
                 lt = np.maximum(db[:, :, None, :2], gb[:, None, :, :2])
@@ -212,6 +237,12 @@ class CocoMeanAP:
                 ad = (db[:, :, 2] - db[:, :, 0]) * (db[:, :, 3] - db[:, :, 1])
                 ag = (gb[:, :, 2] - gb[:, :, 0]) * (gb[:, :, 3] - gb[:, :, 1])
                 union = ad[:, :, None] + ag[:, None, :] - inter
+                # crowd columns: pycocotools iscrowd IoU divides by the DT
+                # area only (maskUtils.iou(..., iscrowd=1))
+                union = np.where(
+                    g_crowd[:, None, :],
+                    np.broadcast_to(ad[:, :, None], union.shape), union,
+                )
                 with np.errstate(invalid="ignore", divide="ignore"):
                     iou = np.where(union > 0, inter / union, 0.0).astype(np.float32)
                 iou = np.where(g_valid[:, None, :], iou, 0.0)
@@ -223,9 +254,9 @@ class CocoMeanAP:
 
             for area in AREA_NAMES:
                 lo, hi = AREA_RNG[area]
-                g_ign = (~g_valid) | (ag < lo) | (ag > hi)
+                g_ign = (~g_valid) | (ag < lo) | (ag > hi) | g_crowd
                 d_out = (ad < lo) | (ad > hi)
-                dt_gt = _greedy_match(iou, g_ign, g_valid)  # [N,T,D]
+                dt_gt = _greedy_match(iou, g_ign, g_valid, g_crowd)  # [N,T,D]
                 is_matched = dt_gt >= 0
                 m_gt_ign = np.take_along_axis(
                     np.broadcast_to(g_ign[:, None, :], (n, t, max(g_max, 1))),

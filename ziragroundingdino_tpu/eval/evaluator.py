@@ -65,7 +65,8 @@ def inference_on_dataset(
     timed_images = 0
     for it, batch in enumerate(loader):
         real = int(batch.pop("real_count", len(batch["pixels"])))
-        jbatch = {k: jnp.asarray(v) for k, v in batch.items()}
+        jbatch = {k: jnp.asarray(v) for k, v in batch.items()
+                  if not k.startswith("crowd_")}
         t0 = time.perf_counter()
         det = jax.block_until_ready(inference_fn(params, jbatch))
         dt = time.perf_counter() - t0
@@ -81,22 +82,30 @@ def inference_on_dataset(
         sizes = np.asarray(batch["sizes"])[:real]
         orig = np.asarray(batch["orig_sizes"])[:real]
         ids = np.asarray(batch["image_ids"])[:real]
+        def denorm(g, i):
+            # normalized cxcywh (by resized size) -> absolute xyxy in the
+            # original frame
+            if not g.size:
+                return np.zeros((0, 4), np.float32)
+            cx, cy, w, h = g.T
+            gx = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+            oh, ow = orig[i]
+            return gx * np.array([ow, oh, ow, oh], np.float32)
+
+        cb = batch.get("crowd_boxes")
         for i in range(real):
             keep = scores[i] > score_floor
             v = gt_valid[i]
-            # gt normalized cxcywh (by resized size) -> absolute xyxy in the
-            # original frame
-            g = gt_boxes_n[i][v]
-            if g.size:
-                cx, cy, w, h = g.T
-                gx = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
-                oh, ow = orig[i]
-                gx = gx * np.array([ow, oh, ow, oh], np.float32)
-            else:
-                gx = np.zeros((0, 4), np.float32)
+            crowd_kw = {}
+            if cb is not None:
+                cv = np.asarray(batch["crowd_valid"])[i]
+                crowd_kw = dict(
+                    crowd_boxes=denorm(np.asarray(cb)[i][cv], i),
+                    crowd_labels=np.asarray(batch["crowd_labels"])[i][cv],
+                )
             evaluator.add(
                 int(ids[i]), boxes[i][keep], scores[i][keep], labels[i][keep],
-                gx, gt_labels[i][v],
+                denorm(gt_boxes_n[i][v], i), gt_labels[i][v], **crowd_kw,
             )
             n_images += 1
     res = evaluator.summarize()
