@@ -302,3 +302,30 @@ def test_crowd_flows_from_json_to_eval_batch(tmp_path):
                            max_text_len=32, max_categories=8)
     tbatch = next(iter(tr_loader))
     assert "crowd_boxes" not in tbatch
+
+
+def test_annotation_area_drives_size_ranges():
+    """pycocotools ranges gts by the annotation 'area' (segmentation area),
+    not the box area: a sparse object with a big box but small mask counts
+    as SMALL."""
+    # box area 100x100 = 10000 (medium/large-ish) but ann area 500 (small)
+    gt = np.array([[0, 0, 100, 100]], np.float32)
+    det = np.array([[0, 0, 100, 100]], np.float32)
+
+    ev = CocoMeanAP(num_classes=1)
+    ev.add(0, det, np.array([0.9]), np.zeros(1, np.int64),
+           gt, np.zeros(1, np.int64), gt_areas=np.array([500.0]))
+    res = ev.summarize()
+    assert res["APs"] == pytest.approx(100.0, abs=1e-6), res
+    # NOTE: in the large band the small-area gt is IGNORED, and the det
+    # (box area 10000, inside the large range) matches it and is ignored
+    # too -> no large-band precision points -> nan
+    assert np.isnan(res["APl"]), res
+
+    # without areas: box area 10000 > 96^2 -> large band
+    ev2 = CocoMeanAP(num_classes=1)
+    ev2.add(0, det, np.array([0.9]), np.zeros(1, np.int64),
+            gt, np.zeros(1, np.int64))
+    res2 = ev2.summarize()
+    assert np.isnan(res2["APs"]), res2
+    assert res2["APl"] == pytest.approx(100.0, abs=1e-6), res2

@@ -92,10 +92,14 @@ class CocoDataset:
         else:
             img = np.zeros((im["height"], im["width"], 3), np.uint8)
         crowd_boxes, crowd_labels = self.crowd_annotations(im["id"])
+        areas = np.asarray(
+            [a.get("area", 0.0) for a in anns], np.float32
+        )
         return Sample(
             image=img, boxes=boxes, labels=labels,
             orig_size=(im["height"], im["width"]), image_id=im["id"],
             crowd_boxes=crowd_boxes, crowd_labels=crowd_labels,
+            gt_areas=areas,
         )
 
 

@@ -96,6 +96,8 @@ def collate(
         crowd_boxes = np.zeros((b, n_max, 4), np.float32)
         crowd_labels = np.zeros((b, n_max), np.int32)
         crowd_valid = np.zeros((b, n_max), bool)
+        # annotation "area" (original-image pixels; 0 = fall back to box)
+        gt_areas = np.zeros((b, n_max), np.float32)
 
     for i, s in enumerate(samples):
         if transfer_uint8:
@@ -121,6 +123,9 @@ def collate(
                     s.crowd_boxes[:nc], h, w)
                 crowd_labels[i, :nc] = s.crowd_labels[:nc]
                 crowd_valid[i, :nc] = True
+            na = min(len(s.gt_areas), n_max)
+            if na:
+                gt_areas[i, :na] = s.gt_areas[:na]
 
     tb = tokenize_captions(
         tokenizer, list(captions), max_text_len=max_text_len,
@@ -141,7 +146,8 @@ def collate(
         "orig_sizes": orig_sizes,
         "image_ids": image_ids,
         **({"crowd_boxes": crowd_boxes, "crowd_labels": crowd_labels,
-            "crowd_valid": crowd_valid} if not train else {}),
+            "crowd_valid": crowd_valid, "gt_areas": gt_areas}
+           if not train else {}),
     }
 
 

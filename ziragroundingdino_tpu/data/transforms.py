@@ -43,6 +43,11 @@ class Sample:
         default_factory=lambda: np.zeros((0, 4), np.float32))
     crowd_labels: np.ndarray = dataclasses.field(
         default_factory=lambda: np.zeros((0,), np.int64))
+    # the annotation "area" field (segmentation area in ORIGINAL-image
+    # pixels): pycocotools uses it, not the box area, for the s/m/l gt
+    # ranges. Empty = fall back to box area.
+    gt_areas: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.zeros((0,), np.float32))
 
 
 def _resize_u8(image: np.ndarray, nh: int, nw: int) -> np.ndarray:

@@ -120,21 +120,27 @@ class CocoMeanAP:
         self._cache = None
 
     def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes,
-            gt_labels, crowd_boxes=None, crowd_labels=None):
+            gt_labels, crowd_boxes=None, crowd_labels=None, gt_areas=None):
         """crowd_boxes/labels: iscrowd regions, ignore-matched like
         pycocotools (dt-area IoU, never counted in recall, absorb any number
-        of detections)."""
+        of detections). gt_areas: the annotation "area" field (segmentation
+        area) pycocotools uses for the s/m/l gt ranges; entries <= 0 fall
+        back to the box area."""
+        gb = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
+        ga = (np.asarray(gt_areas, np.float32).reshape(-1)
+              if gt_areas is not None else np.zeros((len(gb),), np.float32))
         self.entries.append((
             image_id,
             np.asarray(det_boxes, np.float32).reshape(-1, 4),
             np.asarray(det_scores, np.float32).reshape(-1),
             np.asarray(det_labels, np.int64).reshape(-1),
-            np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+            gb,
             np.asarray(gt_labels, np.int64).reshape(-1),
             np.asarray(crowd_boxes, np.float32).reshape(-1, 4)
             if crowd_boxes is not None else np.zeros((0, 4), np.float32),
             np.asarray(crowd_labels, np.int64).reshape(-1)
             if crowd_labels is not None else np.zeros((0,), np.int64),
+            ga,
         ))
         self._cache = None
 
@@ -151,7 +157,7 @@ class CocoMeanAP:
         """Group (image, category) pairs with score-sorted, max_dets-trimmed
         detections. Returns a list of dict records."""
         pairs = []
-        for img_id, db, ds, dl, gb, gl, cb, cl in self.entries:
+        for img_id, db, ds, dl, gb, gl, cb, cl, ga in self.entries:
             cats = np.union1d(np.union1d(np.unique(dl), np.unique(gl)), np.unique(cl))
             cats = cats[(cats >= 0) & (cats < self.num_classes)]
             for c in cats:
@@ -169,6 +175,8 @@ class CocoMeanAP:
                     "img": img_id, "cat": int(c),
                     "db": dbc[order], "ds": dsc[order],
                     "gb": np.concatenate([gb[gm], cb[cm]], axis=0),
+                    "ga": np.concatenate(
+                        [ga[gm], np.zeros(int(cm.sum()), np.float32)]),
                     "n_crowd": int(cm.sum()),
                     "ign_unmatched": self._ignore_unmatched_dets(img_id, int(c)),
                 })
@@ -212,6 +220,7 @@ class CocoMeanAP:
             g_max = max((len(p["gb"]) for p in chunk), default=0)
             db = np.zeros((n, d_max, 4), np.float32)
             gb = np.zeros((n, g_max, 4), np.float32)
+            ga_ann = np.zeros((n, g_max), np.float32)
             n_dt = np.zeros(n, np.int64)
             n_gt = np.zeros(n, np.int64)
             for j, p in enumerate(chunk):
@@ -219,6 +228,7 @@ class CocoMeanAP:
                 n_gt[j] = len(p["gb"])
                 db[j, : n_dt[j]] = p["db"]
                 gb[j, : n_gt[j]] = p["gb"]
+                ga_ann[j, : n_gt[j]] = p["ga"]
             # padded det rows need no mask: their IoU row is all zeros (zero
             # boxes) so they never match, and the flat scatter below copies
             # only the first n_dt columns per pair
@@ -250,6 +260,10 @@ class CocoMeanAP:
                 iou = np.zeros((n, d_max, g_max), np.float32)
                 ag = (gb[:, :, 2] - gb[:, :, 0]) * (gb[:, :, 3] - gb[:, :, 1])
                 ad = (db[:, :, 2] - db[:, :, 0]) * (db[:, :, 3] - db[:, :, 1])
+            # pycocotools ranges gt by the annotation "area" (segmentation
+            # area) when present; 0 entries (crowds appended, datasets
+            # without the field) keep the box area
+            ag = np.where(ga_ann > 0, ga_ann, ag)
             ign_unmatched = np.asarray([p["ign_unmatched"] for p in chunk], bool)
 
             for area in AREA_NAMES:

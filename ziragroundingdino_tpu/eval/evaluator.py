@@ -66,7 +66,7 @@ def inference_on_dataset(
     for it, batch in enumerate(loader):
         real = int(batch.pop("real_count", len(batch["pixels"])))
         jbatch = {k: jnp.asarray(v) for k, v in batch.items()
-                  if not k.startswith("crowd_")}
+                  if not k.startswith("crowd_") and k != "gt_areas"}
         t0 = time.perf_counter()
         det = jax.block_until_ready(inference_fn(params, jbatch))
         dt = time.perf_counter() - t0
@@ -103,6 +103,8 @@ def inference_on_dataset(
                     crowd_boxes=denorm(np.asarray(cb)[i][cv], i),
                     crowd_labels=np.asarray(batch["crowd_labels"])[i][cv],
                 )
+            if "gt_areas" in batch:
+                crowd_kw["gt_areas"] = np.asarray(batch["gt_areas"])[i][v]
             evaluator.add(
                 int(ids[i]), boxes[i][keep], scores[i][keep], labels[i][keep],
                 denorm(gt_boxes_n[i][v], i), gt_labels[i][v], **crowd_kw,
