@@ -31,26 +31,52 @@ class _SequentialCocoMeanAP:
         self.max_dets = max_dets
         self.entries = []
 
-    def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes, gt_labels):
+    def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes,
+            gt_labels, crowd_boxes=None, crowd_labels=None, gt_areas=None):
+        gb = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
         self.entries.append((
             image_id,
             np.asarray(det_boxes, np.float32).reshape(-1, 4),
             np.asarray(det_scores, np.float32).reshape(-1),
             np.asarray(det_labels, np.int64).reshape(-1),
-            np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+            gb,
             np.asarray(gt_labels, np.int64).reshape(-1),
+            np.asarray(crowd_boxes, np.float32).reshape(-1, 4)
+            if crowd_boxes is not None else np.zeros((0, 4), np.float32),
+            np.asarray(crowd_labels, np.int64).reshape(-1)
+            if crowd_labels is not None else np.zeros((0,), np.int64),
+            np.asarray(gt_areas, np.float32).reshape(-1)
+            if gt_areas is not None else np.zeros((len(gb),), np.float32),
         ))
 
-    def _evaluate_img_cat(self, db, ds, gb, area_rng):
+    def _evaluate_img_cat(self, db, ds, gb, area_rng, crowd=None, areas=None):
         t = len(IOU_THRS)
         order = np.argsort(-ds, kind="mergesort")[: self.max_dets]
         db, ds = db[order], ds[order]
+        if crowd is None:
+            crowd = np.zeros((0, 4), np.float32)
+        n_real = len(gb)
+        gb = np.concatenate([gb, crowd], axis=0)
+        g_crowd = np.arange(len(gb)) >= n_real
         gt_area = (gb[:, 2] - gb[:, 0]) * (gb[:, 3] - gb[:, 1])
-        g_ignore = (gt_area < area_rng[0]) | (gt_area > area_rng[1])
+        if areas is not None and len(areas):
+            ann = np.concatenate([areas, np.zeros(len(crowd), np.float32)])
+            gt_area = np.where(ann > 0, ann, gt_area)
+        g_ignore = (gt_area < area_rng[0]) | (gt_area > area_rng[1]) | g_crowd
         g_order = np.argsort(g_ignore, kind="mergesort")
-        gb, g_ignore = gb[g_order], g_ignore[g_order]
+        gb, g_ignore, g_crowd = gb[g_order], g_ignore[g_order], g_crowd[g_order]
 
         iou = _iou_xyxy(db, gb)
+        # pycocotools iscrowd IoU: union = dt area
+        if g_crowd.any() and len(db):
+            ad = (db[:, 2] - db[:, 0]) * (db[:, 3] - db[:, 1])
+            lt = np.maximum(db[:, None, :2], gb[None, :, :2])
+            rb = np.minimum(db[:, None, 2:], gb[None, :, 2:])
+            wh = np.clip(rb - lt, 0, None)
+            inter = wh[..., 0] * wh[..., 1]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                crowd_iou = np.where(ad[:, None] > 0, inter / ad[:, None], 0.0)
+            iou = np.where(g_crowd[None, :], crowd_iou.astype(np.float32), iou)
         d, g = len(db), len(gb)
         dt_match = np.zeros((t, d), np.int64) - 1
         gt_match = np.zeros((t, g), np.int64) - 1
@@ -59,7 +85,8 @@ class _SequentialCocoMeanAP:
                 best = thr - 1e-10
                 best_gi = -1
                 for gi in range(g):
-                    if gt_match[ti, gi] >= 0:
+                    # crowds stay matchable (pycocotools continue-on-crowd)
+                    if gt_match[ti, gi] >= 0 and not g_crowd[gi]:
                         continue
                     if best_gi >= 0 and not g_ignore[best_gi] and g_ignore[gi]:
                         break
@@ -90,13 +117,15 @@ class _SequentialCocoMeanAP:
             matched, scores, ignored = [], [], []
             npig = 0
             seen_cat = False
-            for _, db, ds, dl, gb, gl in self.entries:
+            for _, db, ds, dl, gb, gl, cb, cl, ga in self.entries:
                 dm = dl == c
                 gm = gl == c
-                if not dm.any() and not gm.any():
+                cm = cl == c
+                if not dm.any() and not gm.any() and not cm.any():
                     continue
                 seen_cat = seen_cat or gm.any()
-                m, s, ig, ng = self._evaluate_img_cat(db[dm], ds[dm], gb[gm], area_rng)
+                m, s, ig, ng = self._evaluate_img_cat(
+                    db[dm], ds[dm], gb[gm], area_rng, crowd=cb[cm], areas=ga[gm])
                 matched.append(m)
                 scores.append(s)
                 ignored.append(ig)
@@ -329,3 +358,47 @@ def test_annotation_area_drives_size_ranges():
     res2 = ev2.summarize()
     assert np.isnan(res2["APs"]), res2
     assert res2["APl"] == pytest.approx(100.0, abs=1e-6), res2
+
+
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_vectorized_matches_sequential_with_crowds_and_areas(seed):
+    """Fuzz the crowd + annotation-area protocol against the sequential
+    oracle (extended with the documented pycocotools crowd semantics)."""
+    rng = np.random.RandomState(seed)
+    fast = CocoMeanAP(num_classes=4)
+    slow = _SequentialCocoMeanAP(num_classes=4)
+    for i in range(25):
+        img_size = 640.0
+        n_gt = rng.randint(0, 7)
+        xy = rng.rand(n_gt, 2) * img_size * 0.8
+        wh = rng.rand(n_gt, 2) * img_size * 0.3 + 2.0
+        gt = np.concatenate([xy, xy + wh], 1).astype(np.float32)
+        gl = rng.randint(0, 4, size=n_gt)
+        # annotation areas: segmentation-like (40-100% of the box area)
+        box_area = (gt[:, 2] - gt[:, 0]) * (gt[:, 3] - gt[:, 1])
+        ga = (box_area * (0.4 + 0.6 * rng.rand(n_gt))).astype(np.float32)
+        n_cr = rng.randint(0, 3)
+        cxy = rng.rand(n_cr, 2) * img_size * 0.6
+        cwh = rng.rand(n_cr, 2) * img_size * 0.4 + 20.0
+        crowd = np.concatenate([cxy, cxy + cwh], 1).astype(np.float32)
+        cl = rng.randint(0, 4, size=n_cr)
+        n_dt = rng.randint(0, 20)
+        src = np.concatenate([gt, crowd], 0) if n_gt + n_cr else np.zeros((0, 4))
+        if len(src) and n_dt:
+            picks = rng.randint(0, len(src), size=n_dt)
+            db = (src[picks] + rng.randn(n_dt, 4) *
+                  rng.choice([1.0, 10.0], size=(n_dt, 1))).astype(np.float32)
+        else:
+            db = (rng.rand(n_dt, 4) * img_size).astype(np.float32)
+            db[:, 2:] = db[:, :2] + np.abs(db[:, 2:] - db[:, :2]) + 1
+        dl = rng.randint(0, 4, size=n_dt)
+        ds = np.round(rng.rand(n_dt), 2).astype(np.float32)
+        kw = dict(crowd_boxes=crowd, crowd_labels=cl, gt_areas=ga)
+        fast.add(i, db, ds, dl, gt, gl, **kw)
+        slow.add(i, db, ds, dl, gt, gl, **kw)
+    rf, rs = fast.summarize(), slow.summarize()
+    for k, v in rs.items():
+        if np.isnan(v):
+            assert np.isnan(rf[k]), (k, rf[k], v)
+        else:
+            assert rf[k] == pytest.approx(v, abs=1e-9), (k, rf[k], v)
