@@ -94,3 +94,33 @@ def test_slconfig_shim_loads_every_reference_config():
     cfg, _ = config_from_slconfig(
         "/root/reference/groundingdino/config/GroundingDINO_SwinT_OGC_rep.py")
     assert cfg.use_cet and cfg.use_project_adapter
+
+
+def test_voc_difficult_gts():
+    """VOC 'difficult' semantics (`voc_eval` via pascal_voc_evaluation.py:
+    255-259): excluded from npos; a det on a difficult gt is neither TP
+    nor FP."""
+    gt = np.array([[0, 0, 50, 50], [100, 100, 150, 150]], np.float32)
+    difficult = np.array([False, True])
+    det = np.array([
+        [100, 100, 150, 150],  # on the difficult gt, HIGHEST score
+        [0, 0, 50, 50],        # TP on the easy gt
+    ], np.float32)
+    scores = np.array([0.95, 0.9], np.float32)
+    labels = np.zeros(2, np.int64)
+
+    ev = VocMeanAP(num_classes=1)
+    ev.add(0, det, scores, labels, gt, labels, gt_difficult=difficult)
+    # npos = 1 (easy only); the difficult-matched det vanishes -> AP 100
+    assert ev.summarize()["mAP"] == pytest.approx(100.0, abs=1e-4)
+
+    ev2 = VocMeanAP(num_classes=1)
+    ev2.add(0, det, scores, labels, gt, labels)
+    # without flags: both gts count, both dets TP -> still 100
+    assert ev2.summarize()["mAP"] == pytest.approx(100.0, abs=1e-4)
+
+    # a high-scoring det on a difficult gt must NOT become an FP
+    ev3 = VocMeanAP(num_classes=1)
+    ev3.add(0, det[:1], scores[:1], labels[:1], gt, labels,
+            gt_difficult=np.array([True, True]))
+    assert np.isnan(ev3.summarize()["mAP"])  # npos == 0

@@ -18,14 +18,21 @@ class VocMeanAP:
         self.use_07 = use_07_metric
         self.entries: List = []
 
-    def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes, gt_labels):
+    def add(self, image_id, det_boxes, det_scores, det_labels, gt_boxes,
+            gt_labels, gt_difficult=None):
+        """gt_difficult: VOC 'difficult' flags — excluded from npos, and a
+        detection whose best overlap is a difficult gt is neither TP nor FP
+        (`voc_eval`, reference `pascal_voc_evaluation.py:255-259`)."""
+        gb = np.asarray(gt_boxes, np.float32).reshape(-1, 4)
         self.entries.append((
             image_id,
             np.asarray(det_boxes, np.float32).reshape(-1, 4),
             np.asarray(det_scores, np.float32).reshape(-1),
             np.asarray(det_labels, np.int64).reshape(-1),
-            np.asarray(gt_boxes, np.float32).reshape(-1, 4),
+            gb,
             np.asarray(gt_labels, np.int64).reshape(-1),
+            np.asarray(gt_difficult, bool).reshape(-1)
+            if gt_difficult is not None else np.zeros((len(gb),), bool),
         ))
 
     def _ap(self, rec: np.ndarray, prec: np.ndarray) -> float:
@@ -45,11 +52,13 @@ class VocMeanAP:
     def summarize(self) -> Dict[str, float]:
         aps = []
         for c in range(self.num_classes):
-            scores, matched = [], []
+            scores, matched, skipped = [], [], []
             npos = 0
-            for _, db, ds, dl, gb, gl in self.entries:
-                g = gb[gl == c]
-                npos += len(g)
+            for _, db, ds, dl, gb, gl, gdiff in self.entries:
+                gm = gl == c
+                g = gb[gm]
+                diff = gdiff[gm]
+                npos += int((~diff).sum())
                 d = dl == c
                 db_c, ds_c = db[d], ds[d]
                 order = np.argsort(-ds_c, kind="mergesort")
@@ -60,20 +69,29 @@ class VocMeanAP:
                     scores.append(ds_c[i])
                     if len(g) == 0:
                         matched.append(False)
+                        skipped.append(False)
                         continue
                     j = int(np.argmax(iou[i]))
-                    if iou[i, j] >= self.iou_thr and not taken[j]:
+                    if iou[i, j] >= self.iou_thr and diff[j]:
+                        # best overlap is difficult: neither TP nor FP
+                        matched.append(False)
+                        skipped.append(True)
+                    elif iou[i, j] >= self.iou_thr and not taken[j]:
                         taken[j] = True
                         matched.append(True)
+                        skipped.append(False)
                     else:
                         matched.append(False)
+                        skipped.append(False)
             if npos == 0:
                 continue
             scores = np.asarray(scores)
             matched = np.asarray(matched, bool)
+            skipped = np.asarray(skipped, bool)
             order = np.argsort(-scores, kind="mergesort")
-            tp = np.cumsum(matched[order])
-            fp = np.cumsum(~matched[order])
+            m_o, sk_o = matched[order], skipped[order]
+            tp = np.cumsum(m_o)
+            fp = np.cumsum(~m_o & ~sk_o)
             rec = tp / npos
             prec = tp / np.maximum(tp + fp, np.finfo(np.float64).eps)
             aps.append(self._ap(rec, prec))
