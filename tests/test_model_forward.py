@@ -111,3 +111,21 @@ def test_adapter_losses_finite(setup):
     )
     for k, v in out["adapter_losses"].items():
         assert np.isfinite(np.asarray(v)), k
+
+
+def test_resnet_backbone_full_assembly():
+    """The cfg.backbone='resnet50' branch through the whole model
+    (`backbone/backbone.py:119-159` Joiner alternative) — tiny transformer,
+    real ResNet-50 trunk at a small image."""
+    cfg = tiny_config(backbone="resnet50", swin_config=None)
+    model = GroundingDINO(cfg=cfg)
+    pixels, mask = tiny_image_batch(b=1)
+    tb = tiny_text_batch(captions=("cat.dog.",))
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
+    )
+    out = model.apply(params, jnp.asarray(pixels), jnp.asarray(mask), text)
+    assert out["pred_logits"].shape == (1, cfg.num_queries, cfg.max_text_len)
+    assert out["pred_boxes"].shape == (1, cfg.num_queries, 4)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
