@@ -170,3 +170,37 @@ def test_rep_merge_scale_resets_by_module():
     assert float(merged["rep_language_adapter"]["scaling"][0]) == pytest.approx(1.0)
     np.testing.assert_allclose(
         np.asarray(merged["rep_language_adapter"]["freeze_kernel"]), 2.0)
+
+
+@pytest.mark.parametrize("preset", [
+    "dtgroundingdino", "finetune", "linearprobe", "prompttune",
+    "berttune", "projecttune",
+])
+def test_pet_preset_forward_smoke(preset):
+    """Every PET-baseline preset of the reference's ablation matrix
+    (`GroundingDINO_SwinT_OGC_dt_*.py`) must assemble and run: linearprobe
+    exercises ContrastiveEmbed-with-linear heads, prompttune the prompt
+    paths, berttune/projecttune/finetune are trainable-mask matters but
+    must still build."""
+    from tests.common import TINY_BERT, TINY_SWIN, tiny_image_batch, tiny_text_batch
+    from ziragroundingdino_tpu.config import get_model_config
+
+    cfg = get_model_config(
+        preset, hidden_dim=64, nheads=4, dim_feedforward=128,
+        enc_layers=1, dec_layers=1, num_queries=8, max_text_len=32,
+        max_categories=8, compute_dtype="float32", swin_config=TINY_SWIN,
+        bert_config=TINY_BERT, fusion_droppath=0.0, cet_middle_dim=16,
+    )
+    model = GroundingDINO(cfg=cfg)
+    pixels, mask = tiny_image_batch(b=1)
+    tb = tiny_text_batch(captions=("cat.dog.",))
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
+    )
+    out = model.apply(variables, jnp.asarray(pixels), jnp.asarray(mask), text,
+                      train=False)
+    assert out["pred_logits"].shape == (1, cfg.num_queries, cfg.max_text_len)
+    assert np.isfinite(np.asarray(out["pred_boxes"])).all()
+    if preset == "linearprobe":
+        assert cfg.use_cls_linear
