@@ -38,6 +38,9 @@ def main():
                     help="json file {'model': {...}, 'data': {...}}")
     ap.add_argument("--select-k", type=int, default=0,
                     help="top-k detections per image (0 = preset value)")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="data-parallel eval over N devices (batch-size "
+                         "must divide by N)")
     args = ap.parse_args()
 
     logging.basicConfig(level=logging.INFO)
@@ -79,8 +82,21 @@ def main():
     )
     select_k = args.select_k or cfg.select_box_nums_for_evaluation
     inference_fn = make_inference_fn(lm.model, select_k=select_k)
+    params = lm.params
+    if args.mesh:
+        from ziragroundingdino_tpu.parallel.mesh import make_mesh
+        from ziragroundingdino_tpu.parallel.sharded_eval import (
+            make_sharded_inference_fn,
+        )
+
+        if args.batch_size % args.mesh:
+            raise SystemExit(
+                f"--batch-size {args.batch_size} must divide by --mesh {args.mesh}")
+        mesh = make_mesh(data=args.mesh, model=1)
+        sharded = make_sharded_inference_fn(inference_fn, mesh, params)
+        inference_fn = lambda p, b: sharded(b)  # params baked in, replicated
     res = inference_on_dataset(
-        lm.params, iter(loader), inference_fn,
+        params, iter(loader), inference_fn,
         num_classes=len(ds.category_names),
         class_names=ds.category_names,
     )

@@ -242,3 +242,27 @@ def test_train_odinw_1shot_regime(artifacts, tmp_path):
     ])
     report = json.loads((out / "result.json").read_text())
     assert "AP/CottontailRabbits" in report, report
+
+
+def test_eval_coco_cli_mesh(artifacts, tmp_path):
+    """eval_coco --mesh: data-parallel sharded inference over a 2-device
+    CPU mesh (parallel/sharded_eval)."""
+    tmp, ckpt, vocab, cfg_json = artifacts
+    droot = tmp_path / "ds"
+    _write_coco_task(str(droot), ["cat", "dog"], n_train=1, n_test=8, seed=6)
+    out = tmp_path / "metrics_mesh.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu", ZGDINO_PLATFORM="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    p = subprocess.run(
+        [sys.executable, "scripts/eval_coco.py",
+         "--checkpoint", ckpt, "--vocab", vocab,
+         "--json", str(droot / "test" / "annotations_without_background.json"),
+         "--image-root", str(droot / "test"),
+         "--preset", "dualzerorepbranchgroundingdino",
+         "--batch-size", "2", "--mesh", "2", "--output", str(out),
+         "--config-overrides", cfg_json],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
+    )
+    assert p.returncode == 0, f"exit {p.returncode}\n{p.stdout}\n{p.stderr[-4000:]}"
+    res = json.loads(out.read_text())
+    assert "AP" in res and "per_category_AP" in res
