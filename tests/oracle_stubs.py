@@ -342,20 +342,27 @@ def build_tiny_reference_model(wp_tokenizer, max_text_len: int = 32, seed: int =
     # (models/transformer.py:299-301)
     from groundingdino.models.GroundingDINO import transformer_for_adapter as tfa
 
+    tfa._oracle_tiny_mode = True  # full-size builder flips this off
     if not getattr(tfa, "_oracle_pos_patched", False):
         _orig_gspe = tfa.get_sine_pos_embed
 
         def _scaled_gspe(pos_tensor, num_pos_feats=128, temperature=10000,
                          exchange_xy=True):
-            if num_pos_feats == 256:  # the hardcoded text-layer call sites
-                num_pos_feats = 64  # tiny hidden_dim (tests/common.py)
+            if num_pos_feats == 256 and getattr(tfa, "_oracle_tiny_mode", True):
+                # the hardcoded text-layer call sites, shrunk to the tiny
+                # hidden_dim (tests/common.py); full-size keeps 256
+                num_pos_feats = 64
             return _orig_gspe(pos_tensor, num_pos_feats, temperature, exchange_xy)
 
         tfa.get_sine_pos_embed = _scaled_gspe
 
         # likewise `gen_sineembed_for_position` hardcodes 128 = d_model/2
         # (`utils.py:203-230`); shrink to tiny hidden_dim//2 = 32
+        _orig_sineembed = tfa.gen_sineembed_for_position
+
         def _tiny_sineembed(pos_tensor, _nf=32):
+            if not getattr(tfa, "_oracle_tiny_mode", True):
+                return _orig_sineembed(pos_tensor)
             import math as _m
 
             scale = 2 * _m.pi
@@ -427,5 +434,57 @@ def build_tiny_reference_model(wp_tokenizer, max_text_len: int = 32, seed: int =
     finally:
         bb_mod.build_swin_transformer = orig_build_swin
         gt.get_tokenlizer, gt.get_pretrained_language_model = orig
+    model.eval()
+    return model
+
+
+def build_fullsize_reference_model(wp_tokenizer, max_text_len: int = 256,
+                                   seed: int = 0):
+    """The reference's vanilla `build_groundingdino` at FULL dimensions
+    (Swin-T, 6+6 layers, d=256, ffn 2048, 900 queries, BERT-base geometry)
+    with random init and our synthetic tokenizer — the full-scale
+    counterpart of `build_tiny_reference_model` closing the tiny-scale-only
+    caveat (dimension-dependent code paths: the 256-dim positional
+    hardcodes, 900-query selection, real head counts)."""
+    install_reference_stubs()
+    torch.manual_seed(seed)
+
+    from transformers import BertConfig as HFBertConfig
+    from transformers import BertModel as HFBertModel
+
+    from groundingdino.util import get_tokenlizer as gt
+    from groundingdino.models.GroundingDINO import transformer_for_adapter as tfa
+
+    tfa._oracle_tiny_mode = False  # keep the 256-dim hardcodes intact
+
+    def base_bert(text_encoder_type):
+        cfg = HFBertConfig(
+            vocab_size=30522, hidden_size=768, num_hidden_layers=12,
+            num_attention_heads=12, intermediate_size=3072,
+            max_position_embeddings=512, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        return HFBertModel(cfg)
+
+    stub_tok = StubHFTokenizer(wp_tokenizer, max_text_len=max_text_len)
+    orig = (gt.get_tokenlizer, gt.get_pretrained_language_model)
+    gt.get_tokenlizer = lambda t: stub_tok
+    gt.get_pretrained_language_model = base_bert
+    try:
+        from groundingdino.models.GroundingDINO.groundingdino import (
+            build_groundingdino,
+        )
+        from groundingdino.util.slconfig import SLConfig
+
+        args = SLConfig.fromfile(
+            f"{REFERENCE_ROOT}/groundingdino/config/GroundingDINO_SwinT_OGC.py"
+        )
+        args.use_prompt = False
+        args.use_prompt_memory = False
+        args.prompt_middle_dim = 1024
+        model = build_groundingdino(args)
+    finally:
+        gt.get_tokenlizer, gt.get_pretrained_language_model = orig
+        tfa._oracle_tiny_mode = True
     model.eval()
     return model

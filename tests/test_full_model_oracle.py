@@ -451,3 +451,66 @@ def test_multilayer_full_model_oracle(wp):
                              - captured["boxes"]))
     assert cls_diff < 2e-3, f"per-class logits diverge: {cls_diff}"
     assert box_diff < 2e-4, f"boxes diverge: {box_diff}"
+
+
+@pytest.mark.skipif(
+    not os.environ.get("ZGDINO_FULL_ORACLE"),
+    reason="full-dimension oracle is slow (set ZGDINO_FULL_ORACLE=1; run "
+           "this test alone in a fresh process)",
+)
+def test_fullsize_vanilla_oracle(wp):
+    """End-to-end parity at FULL model dimensions (Swin-T, 6+6 layers,
+    d=256, BERT-base geometry, 900 queries, max_text_len=256) with random
+    init at a small image — closes the tiny-scale-only caveat of the other
+    oracles (exercises the 256-dim positional hardcodes, real head counts,
+    top-900 selection, the full converter surface)."""
+    from tests.oracle_stubs import build_fullsize_reference_model
+    from ziragroundingdino_tpu.config import get_model_config
+
+    ref = build_fullsize_reference_model(wp, max_text_len=256, seed=0)
+    from groundingdino.util.misc import NestedTensor  # needs stubs installed
+
+    pixels, mask = _image(0, h=320, w=480, valid_h=320, valid_w=480)
+    caption = "cat.dog."
+    with torch.no_grad():
+        t_out = ref(
+            NestedTensor(
+                torch.from_numpy(pixels.transpose(2, 0, 1))[None],
+                torch.from_numpy(~mask)[None],
+            ),
+            captions=[caption],
+        )
+
+    cfg = get_model_config(
+        "groundingdino", compute_dtype="float32", use_cet=False,
+        use_project_adapter=False, use_zero_inter_loss=False,
+        use_zero_inter_loss_for_conv=False,
+    )
+    model = GroundingDINO(cfg=cfg)
+    tb = tokenize_captions(wp, [caption], max_text_len=256,
+                           max_categories=8, text_len_buckets=(256,))
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    jp, jm = jnp.asarray(pixels[None]), jnp.asarray(mask[None])
+    params = _convert_into(model, ref, jp, jm, text)
+    out = jax.jit(lambda p: model.apply(p, jp, jm, text, train=False))(
+        {"params": params})
+
+    jl = np.asarray(out["pred_logits"], np.float32)[0]
+    jb = np.asarray(out["pred_boxes"], np.float32)[0]
+    tl = t_out["pred_logits"].numpy()[0]
+    tbx = t_out["pred_boxes"].numpy()[0]
+    # At random init the top-900 query selection is DISCONTINUOUS: fp32
+    # summation-order noise between torch CPU and XLA CPU reorders near-tied
+    # proposal logits, permuting the decoder slots (BASELINE.md documents
+    # this). The parity claim is therefore ORDER-INVARIANT: almost every
+    # predicted box must have an exact counterpart, with matching token
+    # logits at the matched slots.
+    from scipy.spatial import cKDTree
+
+    dist, idx = cKDTree(tbx).query(jb)
+    frac_exact = float((dist < 1e-3).mean())
+    assert frac_exact >= 0.97, f"only {frac_exact:.3f} of slots have an exact counterpart"
+    valid = np.asarray(tb.text_token_mask)[0]
+    matched = dist < 1e-3
+    ml = np.abs(jl[matched][:, valid] - tl[idx[matched]][:, valid]).max()
+    assert ml < 5e-3, f"matched-slot logits diverge: {ml}"
