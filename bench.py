@@ -106,6 +106,23 @@ def main():
             log(f"b={b} failed: {type(e).__name__}: {str(e)[:200]}")
     assert best is not None, "all batch sizes failed"
     b, ips = best
+
+    # ---- train step (ZiRa adapters, jax matcher, custom-VJP MSDA backward);
+    # VERDICT r2 item 3: publish training alongside inference ----
+    train_metrics = {}
+    if os.environ.get("ZGDINO_BENCH_TRAIN", "1") != "0":
+        for tb, remat in ((1, False), (2, False)):
+            try:
+                ms = _bench_train_step(model_name="dualzerorepbranchgroundingdino",
+                                       b=tb, h=h, w=w, t=t, remat=remat)
+                key = f"train_step_ms_b{tb}" + ("_remat" if remat else "")
+                train_metrics[key] = round(ms, 1)
+                train_metrics[f"train_img_per_sec_b{tb}" + ("_remat" if remat else "")] = (
+                    round(tb / (ms / 1e3), 3))
+            except Exception as e:
+                log(f"train bench b={tb} remat={remat} failed: "
+                    f"{type(e).__name__}: {str(e)[:200]}")
+
     print(json.dumps({
         "metric": "gdino_t_inference_throughput_800x1216",
         "value": round(ips, 3),
@@ -115,7 +132,76 @@ def main():
             f"assumed A100 eager rate {A100_BASELINE_IPS} img/s (conservative; "
             "published anchor: 1.5 FPS on V100, YOLO-World CVPR'24 Tab.1)"
         ),
+        **train_metrics,
     }))
+
+
+def _bench_train_step(model_name, b, h, w, t, remat, iters=4):
+    """Best-of-n full train-step wall time (ms), value-fetch synced."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _text_arrays
+    from ziragroundingdino_tpu.config import OptimizerConfig, ScheduleConfig
+    from ziragroundingdino_tpu.models import build_model
+    from ziragroundingdino_tpu.train.optim import (
+        ZIRA_TRAINABLE_PATTERNS, build_optimizer, trainable_mask,
+    )
+    from ziragroundingdino_tpu.train.step import TrainState, make_train_step
+
+    model = build_model(model_name, use_checkpoint=remat,
+                        use_transformer_ckpt=remat)
+    rng = np.random.RandomState(0)
+    text_np, c2t = _text_arrays(np, 1, t, vocab=30000)
+    n_gt = 8
+    batch = {
+        "pixels": jnp.asarray(rng.randn(b, h, w, 3), jnp.float32),
+        "mask": jnp.ones((b, h, w), bool),
+        **{k: jnp.asarray(np.repeat(v, b, axis=0)) for k, v in text_np.items()},
+        "cate_to_token_mask": jnp.asarray(np.repeat(c2t[:, :16], b, axis=0)),
+        "gt_labels": jnp.asarray(rng.randint(0, 8, size=(b, n_gt)), jnp.int32),
+        "gt_boxes": jnp.asarray(
+            np.clip(rng.rand(b, n_gt, 4) * [1, 1, 0.2, 0.2] + [0, 0, 0.05, 0.05], 0, 1),
+            jnp.float32),
+        "gt_valid": jnp.ones((b, n_gt), bool),
+    }
+    params = jax.jit(lambda k: model.init(
+        k, batch["pixels"][:1], batch["mask"][:1],
+        {k2: jnp.asarray(v) for k2, v in text_np.items()},
+    ))(jax.random.PRNGKey(0))
+    mask = trainable_mask(params["params"], ZIRA_TRAINABLE_PATTERNS, freeze_all=True)
+    tx = build_optimizer(
+        OptimizerConfig(lr=1e-3, grad_clip=0.1, lr_factors=(("freeze", 0.2),)),
+        ScheduleConfig(max_iter=1000), params["params"], trainable=mask,
+    )
+
+    class Wrap:
+        cfg = model.cfg
+
+        @staticmethod
+        def apply(p, *a, **k):
+            return model.apply({"params": p}, *a, **k)
+
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params["params"],
+                       opt_state=tx.init(params["params"]))
+    step = make_train_step(Wrap, tx, matcher_impl="jax", trainable=mask)
+    key = jax.random.PRNGKey(0)
+    t0 = time.time()
+    state, metrics = step(state, batch, key)
+    float(metrics["total_loss"])
+    log(f"train b={b} remat={remat}: compile+first {time.time()-t0:.1f}s")
+    times = []
+    for i in range(iters):
+        key = jax.random.fold_in(key, i)
+        t0 = time.time()
+        state, metrics = step(state, batch, key)
+        float(metrics["total_loss"])  # full sync
+        times.append(time.time() - t0)
+    ms = min(times) * 1e3
+    log(f"train b={b} remat={remat}: best {ms:.1f} ms/step")
+    return ms
 
 
 if __name__ == "__main__":

@@ -17,6 +17,8 @@ import sys
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 from PIL import Image
 
@@ -245,24 +247,88 @@ def test_train_odinw_1shot_regime(artifacts, tmp_path):
 
 
 def test_eval_coco_cli_mesh(artifacts, tmp_path):
-    """eval_coco --mesh: data-parallel sharded inference over a 2-device
-    CPU mesh (parallel/sharded_eval)."""
+    """eval_coco --mesh: data-parallel sharded inference over an 8-device
+    CPU mesh with an UNEVEN last batch (11 images, global batch 8 -> last
+    batch of 3 must be padded/sliced correctly; VERDICT r2 item 4)."""
     tmp, ckpt, vocab, cfg_json = artifacts
     droot = tmp_path / "ds"
-    _write_coco_task(str(droot), ["cat", "dog"], n_train=1, n_test=8, seed=6)
+    _write_coco_task(str(droot), ["cat", "dog"], n_train=1, n_test=11, seed=6)
     out = tmp_path / "metrics_mesh.json"
     env = dict(os.environ, JAX_PLATFORMS="cpu", ZGDINO_PLATFORM="cpu",
-               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+               XLA_FLAGS="--xla_force_host_platform_device_count=8")
     p = subprocess.run(
         [sys.executable, "scripts/eval_coco.py",
          "--checkpoint", ckpt, "--vocab", vocab,
          "--json", str(droot / "test" / "annotations_without_background.json"),
          "--image-root", str(droot / "test"),
          "--preset", "dualzerorepbranchgroundingdino",
-         "--batch-size", "2", "--mesh", "2", "--output", str(out),
+         "--batch-size", "8", "--mesh", "8", "--output", str(out),
          "--config-overrides", cfg_json],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=2400,
     )
     assert p.returncode == 0, f"exit {p.returncode}\n{p.stdout}\n{p.stderr[-4000:]}"
     res = json.loads(out.read_text())
     assert "AP" in res and "per_category_AP" in res
+    # every one of the 11 images must have been evaluated exactly once
+    assert res["n_images"] == 11, res
+
+
+def test_train_odinw13_full_suite(artifacts, tmp_path):
+    """The NORTH-STAR suite shape (VERDICT r2 item 6): all 13 ODinW13 tasks
+    (synthetic data at their real nested paths), chained incrementally in
+    one process with replay + COCO retention eval — exercising 13 rep
+    merges, prompt-pool growth over 13 task vocabularies, per-task caption
+    RNG chaining, and resume-mid-suite (reference mainline:
+    `train_multidatasets.py:473-561`)."""
+    from ziragroundingdino_tpu.data.odinw import ODINW13, ODINW_PATHS
+
+    tmp, ckpt, vocab, cfg_json = artifacts
+    droot = tmp_path / "odinw"
+    names_pool = ["cat", "dog", "person", "car", "fish", "zebra"]
+    for ti, tname in enumerate(ODINW13):
+        sub = ODINW_PATHS[tname][0]
+        cls = [names_pool[ti % 4], names_pool[(ti + 1) % 6]]
+        _write_coco_task(str(droot / sub), cls, n_train=4, n_test=2, seed=ti)
+        # PascalVOC uses a "valid" test split name
+        if ODINW_PATHS[tname][2] != "test":
+            os.rename(str(droot / sub / "test"),
+                      str(droot / sub / ODINW_PATHS[tname][2]))
+    coco_dir = tmp_path / "coco"
+    _write_coco_task(str(coco_dir), ["cat", "dog"], n_train=1, n_test=2, seed=99)
+    coco_json = str(coco_dir / "test" / "annotations_without_background.json")
+
+    out = tmp_path / "out13"
+    base = [
+        "scripts/train_odinw.py",
+        "--checkpoint", ckpt, "--vocab", vocab,
+        "--datasets-root", str(droot),
+        "--suite", "odinw13",
+        "--output-dir", str(out), "--batch-size", "2",
+        "--coco-json", coco_json, "--coco-root", str(coco_dir / "test"),
+        "--replay-iters", "3",
+        "--fast-dev-run", "--config-overrides", cfg_json,
+    ]
+    # leg 1: first 4 tasks only — an "interrupted" suite
+    _run(base + ["--tasks", ",".join(ODINW13[:4])])
+    for t in ODINW13[:4]:
+        assert (out / t / "state_final").exists(), t
+    # leg 2: the full suite resumes — completed tasks are restored from
+    # their chained state, the remaining 9 train fresh
+    p = _run(base + ["--force-resume"])
+    assert "already done; restoring" in (p.stdout + p.stderr)
+
+    report = json.loads((out / "result.json").read_text())
+    for t in ODINW13:
+        assert f"AP/{t}" in report, (t, sorted(report))
+        assert np.isfinite(report[f"AP/{t}"]), t
+    assert "avg_AP" in report and "coco_AP" in report
+    # 13 per-task APs + coco retention = the reference's 14-entry final log
+    ap_keys = [k for k in report if k.startswith("AP/")]
+    assert len(ap_keys) == 13, ap_keys
+    # the prompt pool grew across all 13 task vocabularies
+    assert (out / ODINW13[-1] / "state_final").exists()
+    from ziragroundingdino_tpu.train.incremental import load_incremental_state
+
+    st = load_incremental_state(str(out / ODINW13[-1] / "state_final"))
+    assert len(st.learned_classes) >= 6, st.learned_classes
+    assert len(st.prompt_memory) >= 6, sorted(st.prompt_memory)

@@ -19,6 +19,8 @@ import textwrap
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from ziragroundingdino_tpu.parallel.multihost import shard_indices_for_process
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -27,7 +27,9 @@ from ziragroundingdino_tpu.train.step import TrainState, compute_losses, make_tr
 
 def make_batch(b=2):
     pixels, mask = tiny_image_batch(b=b)
-    tb = tiny_text_batch()
+    tb = tiny_text_batch(
+        captions=tuple(["cat.dog.", "zebra.person.fish."] * ((b + 1) // 2))[:b]
+    )
     rng = np.random.RandomState(7)
     n = 5
     boxes = (rng.uniform(0.3, 0.7, size=(b, n, 4)) * [1, 1, 0.2, 0.2]).astype(np.float32)

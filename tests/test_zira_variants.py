@@ -204,3 +204,85 @@ def test_pet_preset_forward_smoke(preset):
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()
     if preset == "linearprobe":
         assert cfg.use_cls_linear
+
+
+def test_moe_multi_expert_forward_and_grads():
+    """The multi-expert MoE path (VERDICT r2 item 7): the dense-dispatch
+    redesign of `moe.py:18-117` with num_experts=4, topk=2 under noisy
+    gating — gating/balancing loss finite, and gradients reach EVERY
+    expert's weights (dense dispatch must not silently drop experts)."""
+    from ziragroundingdino_tpu.models.adapters import MoeAdapter
+
+    mod = MoeAdapter(embed_dim=16, down_dim=8, num_experts=4, topk=2,
+                     use_self_kd=True)
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 64, 16), jnp.float32)
+    variables = mod.init(
+        {"params": jax.random.PRNGKey(0), "gating": jax.random.PRNGKey(1)},
+        x, False,
+    )
+    # zero-init fc2 blocks expert-path grads at init; randomize
+    p = jax.tree_util.tree_map(np.asarray, variables["params"])
+    rng = np.random.RandomState(1)
+    moe = p["adapter_moe"]
+    for k in ("fc2_kernel", "w_gate", "w_noise"):
+        moe[k] = rng.randn(*moe[k].shape).astype(np.float32) * 0.1
+
+    def loss_fn(params, key):
+        y, aux = mod.apply({"params": params}, x, False,
+                           rngs={"gating": key})
+        return jnp.sum(y * y) + aux, aux
+
+    (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        jax.tree_util.tree_map(jnp.asarray, p), jax.random.PRNGKey(2)
+    )
+    assert np.isfinite(float(aux))
+    g = grads["adapter_moe"]
+    # per-expert grad energy on the expert MLPs: every expert must train
+    for name in ("fc1_kernel", "fc2_kernel"):
+        per_expert = np.asarray(jnp.sum(g[name] ** 2, axis=(1, 2)))
+        assert (per_expert > 0).all(), (name, per_expert)
+    for name in ("w_gate", "w_noise"):
+        assert float(jnp.sum(g[name] ** 2)) > 0, name
+
+
+def test_cat_preset_multi_expert_prompt():
+    """CAT preset with cfg.num_experts=4/topk=2 plumbed through the prompt
+    MoeAdapter (`groundingdino_dt.py:1095` wires args.num_experts; ours now
+    honors cfg instead of hardcoding 1): train forward returns finite
+    adapter losses and grads flow into the prompt adapter."""
+    from tests.common import TINY_BERT, TINY_SWIN
+    from ziragroundingdino_tpu.config import get_model_config
+
+    cfg = get_model_config(
+        "catgroundingdino", hidden_dim=64, nheads=4, dim_feedforward=128,
+        enc_layers=1, dec_layers=1, num_queries=8, max_text_len=32,
+        max_categories=8, compute_dtype="float32", swin_config=TINY_SWIN,
+        bert_config=TINY_BERT, fusion_droppath=0.0,
+        num_experts=4, num_topk_experts=2, use_prompt=True,
+    )
+    model = GroundingDINO(cfg=cfg)
+    pixels, mask = tiny_image_batch(b=2)
+    tb = tiny_text_batch()
+    text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
+    )
+    # 4 experts actually materialized
+    fc1 = variables["params"]["prompt_adapter"]["adapter_moe"]["fc1_kernel"]
+    assert fc1.shape[0] == 4, fc1.shape
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params}, jnp.asarray(pixels), jnp.asarray(mask), text,
+            train=True, deterministic=False,
+            rngs={"gating": jax.random.PRNGKey(3),
+                  "dropout": jax.random.PRNGKey(4)},
+        )
+        al = out["adapter_losses"]
+        return (jnp.sum(out["pred_logits"].astype(jnp.float32) ** 2) * 1e-6
+                + sum(jnp.asarray(v, jnp.float32) for v in al.values()))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    gp = grads["prompt_adapter"]["adapter_moe"]
+    assert float(jnp.sum(gp["w_gate"] ** 2)) > 0
+    assert float(sum(jnp.sum(v ** 2) for v in jax.tree_util.tree_leaves(gp))) > 0

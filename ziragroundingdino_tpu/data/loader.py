@@ -92,10 +92,14 @@ def collate(
     orig_sizes = np.zeros((b, 2), np.int32)
     image_ids = np.zeros((b,), np.int64)
     if not train:
-        # iscrowd ignore-regions for pycocotools-parity evaluation
-        crowd_boxes = np.zeros((b, n_max, 4), np.float32)
-        crowd_labels = np.zeros((b, n_max), np.int32)
-        crowd_valid = np.zeros((b, n_max), bool)
+        # iscrowd ignore-regions for pycocotools-parity evaluation. These
+        # never enter jit (host-side evaluator only), so size them by the
+        # batch's true max crowd count — no truncation of ignore regions
+        # even for images with > max_boxes crowds.
+        nc_max = max([len(s.crowd_boxes) for s in samples] + [1])
+        crowd_boxes = np.zeros((b, nc_max, 4), np.float32)
+        crowd_labels = np.zeros((b, nc_max), np.int32)
+        crowd_valid = np.zeros((b, nc_max), bool)
         # annotation "area" (original-image pixels; 0 = fall back to box)
         gt_areas = np.zeros((b, n_max), np.float32)
 
@@ -117,7 +121,7 @@ def collate(
             gt_labels[i, :n] = s.labels[:n]
             gt_valid[i, :n] = True
         if not train:
-            nc = min(len(s.crowd_boxes), n_max)
+            nc = len(s.crowd_boxes)
             if nc:
                 crowd_boxes[i, :nc] = boxes_to_normalized_cxcywh(
                     s.crowd_boxes[:nc], h, w)
@@ -232,13 +236,25 @@ class DataLoader:
                 yield order[start + lo : start + hi]
 
     def _train_iter(self):
+        local = self.batch_size // self.shard_count
+        base_pos = self.shard_rank * local
+
         def make_batch(job):
             bi, idxs = job
-            # deterministic per-batch augmentation RNG keyed on the batch
-            # counter: identical under any worker scheduling / num_workers
-            rng = np.random.RandomState((self.seed + 0x9E3779B1 * (bi + 1)) % (2**32))
+            # deterministic per-SAMPLE augmentation RNG keyed on (batch
+            # counter, global batch position): identical under any worker
+            # scheduling / num_workers, and under multi-host sharding the
+            # k-th local sample reproduces exactly the single-process
+            # sample at global position shard_rank*local+k (no correlated
+            # augmentation across hosts).
+            def rng_for(k):
+                return np.random.RandomState(
+                    (self.seed + 0x9E3779B1 * (bi + 1) + 0x85EBCA6B * (base_pos + k + 1))
+                    % (2**32)
+                )
+
             return collate(
-                [self._make_sample(int(i), rng) for i in idxs],
+                [self._make_sample(int(i), rng_for(k)) for k, i in enumerate(idxs)],
                 [self.caption] * len(idxs), self.tokenizer,
                 self.cfg, self.max_text_len, self.max_categories, train=True,
                 transfer_uint8=self.transfer_uint8,

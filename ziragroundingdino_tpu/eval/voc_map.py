@@ -72,11 +72,13 @@ class VocMeanAP:
                         skipped.append(False)
                         continue
                     j = int(np.argmax(iou[i]))
-                    if iou[i, j] >= self.iou_thr and diff[j]:
+                    # strict > like the reference voc_eval's `ovmax > ovthresh`
+                    # (a detection at exactly the threshold is an FP there)
+                    if iou[i, j] > self.iou_thr and diff[j]:
                         # best overlap is difficult: neither TP nor FP
                         matched.append(False)
                         skipped.append(True)
-                    elif iou[i, j] >= self.iou_thr and not taken[j]:
+                    elif iou[i, j] > self.iou_thr and not taken[j]:
                         taken[j] = True
                         matched.append(True)
                         skipped.append(False)

@@ -143,7 +143,8 @@ class TextEncoderOnly(nn.Module):
         if cfg.use_cet:
             lang_adapter = _language_adapter(cfg, cd) if is_zira else None
             if lang_adapter is not None:
-                rep_out, adapter_loss = lang_adapter(bert_out, train=train)
+                rep_out, adapter_loss = lang_adapter(
+                    bert_out, train=train, mask=text["text_token_mask"])
                 encoded_text = encoded_text + rep_out
             else:
                 # single-branch rep variants (repconv/repconvbn) have no
@@ -217,7 +218,9 @@ class GroundingDINO(nn.Module):
         if cfg.use_cet:
             lang_adapter = _language_adapter(cfg, cd) if is_zira else None
             if lang_adapter is not None:
-                rep_out, loss_linear_adapter = lang_adapter(bert_out, train=train)
+                # ZIL averaged over VALID tokens only (see zira._masked_mean)
+                rep_out, loss_linear_adapter = lang_adapter(
+                    bert_out, train=train, mask=text["text_token_mask"])
                 encoded_text = encoded_text + rep_out
             else:
                 # see TextEncoder: repconv/repconvbn + use_cet -> CET adapter
@@ -347,7 +350,8 @@ class GroundingDINO(nn.Module):
             ctx = jnp.mean(srcs[-1].astype(jnp.float32), axis=(1, 2))[:, None, :]
             prompt_out, prompt_loss = MoeAdapter(
                 embed_dim=cfg.hidden_dim, down_dim=64, output_dim=cfg.hidden_dim,
-                gate_base_scale=1.0, num_experts=1, topk=1, use_self_kd=False,
+                gate_base_scale=1.0, num_experts=cfg.num_experts,
+                topk=cfg.num_topk_experts, use_self_kd=False,
                 dtype=cd, name="prompt_adapter",
             )(ctx.astype(cd), deterministic)
             prompt_loss = prompt_loss + jnp.mean(jnp.abs(prompt_out.astype(jnp.float32)))

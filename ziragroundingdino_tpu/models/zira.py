@@ -32,16 +32,37 @@ LAN_SCALE = 0.1  # :63
 VIS_SCALE = 0.1  # :64
 
 
-def smooth_l1_to_zero(x: jnp.ndarray, beta: float = 1.0) -> jnp.ndarray:
+def _masked_mean(per_elem: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over valid positions only. `mask` broadcasts against per_elem's
+    leading dims (e.g. [B, T] against [B, T, D]). The reference computes its
+    ZIL over the batch-"longest"-padded BERT output — at batch 1 (its
+    training batch per GPU is 1-2 and captions within a batch share a
+    length under its loaders) that equals the mean over VALID tokens. Our
+    static text buckets always carry padding, so the mask is required for
+    the same semantics (full-model grad oracle pins this)."""
+    x = per_elem.astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(x)
+    m = mask.astype(jnp.float32)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    return jnp.sum(x * m) / jnp.maximum(
+        jnp.sum(jnp.broadcast_to(m, x.shape).astype(jnp.float32)), 1.0
+    )
+
+
+def smooth_l1_to_zero(
+    x: jnp.ndarray, beta: float = 1.0, mask: Optional[jnp.ndarray] = None
+) -> jnp.ndarray:
     """torch SmoothL1Loss(x, 0, reduction='mean') — `:85` uses default beta=1."""
     ax = jnp.abs(x.astype(jnp.float32))
-    return jnp.mean(jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta))
+    return _masked_mean(jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta), mask)
 
 
-def l1_to_zero(x: jnp.ndarray) -> jnp.ndarray:
+def l1_to_zero(x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """torch L1Loss(x, 0) — the multilayer variant's ZIL
     (`groundingdino_dual_zero_rep_multilayer_branch.py:89`)."""
-    return jnp.mean(jnp.abs(x.astype(jnp.float32)))
+    return _masked_mean(jnp.abs(x.astype(jnp.float32)), mask)
 
 
 def zil_fn(kind: str):
@@ -56,7 +77,10 @@ class RepZeroLinear(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = x.shape[-1]
         cd = self.dtype or x.dtype
         freeze_k = self.param("freeze_kernel", nn.initializers.zeros, (d, self.features))
@@ -78,7 +102,7 @@ class RepZeroLinear(nn.Module):
         )
         out = branch_out + out_freeze
         loss = zil_fn(self.zil)
-        return out, loss(branch_out) + loss(out)
+        return out, loss(branch_out, mask=mask) + loss(out, mask=mask)
 
 
 class RepZeroLoRA(nn.Module):
@@ -96,7 +120,10 @@ class RepZeroLoRA(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         d = x.shape[-1]
         dd = self.down_dim or d // 4
         cd = self.dtype or x.dtype
@@ -117,7 +144,8 @@ class RepZeroLoRA(nn.Module):
             jnp.dot(x.astype(cd), down_k.astype(cd)), up_k.astype(cd)
         )
         out = branch_out + out_freeze
-        return out, smooth_l1_to_zero(branch_out) + smooth_l1_to_zero(out)
+        return out, (smooth_l1_to_zero(branch_out, mask=mask)
+                     + smooth_l1_to_zero(out, mask=mask))
 
 
 class RepZeroConv(nn.Module):

@@ -12,8 +12,10 @@ Two implementations:
                 the gathers to TPU dynamic-gather; backward comes from autodiff
                 (scatter-add), replacing the reference's hand-written col2im
                 kernels.
-  * ``pallas``— a hand-tiled VMEM kernel (see ``msda_pallas.py``) used on TPU
-                for the large-Q encoder self-attention case.
+  * ``pallas``— a hand-tiled VMEM kernel (see ``msda_pallas.py``). Kept as a
+                measured dead end: Mosaic cannot express multi-vreg table
+                gathers, so ``xla`` is the production path on every shape
+                (dispatch defaults to ``impl="xla"``; see msda_pallas.py:14).
 
 Shapes (batch-first, like the reference's `im2col` layout):
   value:              [B, S, H, D]   S = sum(H_l * W_l) flattened multi-scale
@@ -285,11 +287,39 @@ def ms_deform_attn_xla_quad(
         table_b = quad_table.reshape(B, H * sq, 4 * D)
         idx_b = idx_flat - (jnp.arange(B, dtype=idx_flat.dtype) * (H * sq))[:, None, None, None]
 
-        def per_img(_, tiw):
-            tb, ci, cw = tiw
-            return None, weighted_gather(tb, ci[None], cw[None], 1, Q)[0]
+        # bound the per-step gathered temporary [qc, H, K, 4D] to ~128 MB
+        # bf16 (the unchunked encoder-scale row block is ~650 MB/image)
+        max_elems = 1 << 26
+        row_elems = H * k * 4 * D
+        if Q * row_elems > max_elems:
+            qc2 = max(1024, (max_elems // row_elems // 1024) * 1024)
+        else:
+            qc2 = Q
+        n_c2 = -(-Q // qc2)
+        q_pad2 = n_c2 * qc2 - Q
+        if q_pad2:
+            idx_b = jnp.pad(idx_b, ((0, 0), (0, q_pad2), (0, 0), (0, 0)))
+            wts_b = jnp.pad(wts, ((0, 0), (0, q_pad2), (0, 0), (0, 0), (0, 0)))
+        else:
+            wts_b = wts
+        idx_bc = idx_b.reshape(B, n_c2, qc2, H, k)
+        wts_bc = wts_b.reshape(B, n_c2, qc2, H, k, 4)
 
-        _, out = jax.lax.scan(per_img, None, (table_b, idx_b, wts))  # [B,Q,H,4D]
+        def per_img(_, tiw):
+            tb, ci, cw = tiw  # [H*sq,4D], [n_c2,qc2,H,k], [n_c2,qc2,H,k,4]
+            if n_c2 == 1:
+                return None, weighted_gather(tb, ci[0][None], cw[0][None], 1, qc2)[0]
+
+            def chunk2(_, iw):
+                cci, ccw = iw
+                return None, weighted_gather(tb, cci[None], ccw[None], 1, qc2)[0]
+
+            _, o = jax.lax.scan(chunk2, None, (ci, cw))  # [n_c2, qc2, H, 4D]
+            return None, o.reshape(n_c2 * qc2, H, 4 * D)
+
+        _, out = jax.lax.scan(per_img, None, (table_b, idx_bc, wts_bc))
+        if q_pad2:
+            out = out[:, :Q]
     else:
         out = weighted_gather(quad_table, idx_flat, wts, B, Q)  # [B,Q,H,4D]
 
