@@ -332,3 +332,59 @@ def test_train_odinw13_full_suite(artifacts, tmp_path):
     st = load_incremental_state(str(out / ODINW13[-1] / "state_final"))
     assert len(st.learned_classes) >= 6, st.learned_classes
     assert len(st.prompt_memory) >= 6, sorted(st.prompt_memory)
+
+
+def test_checkpoint_runbook_dryrun(tmp_path):
+    """docs/RUNBOOK_checkpoint_parity.md dry run with a RANDOM full-size
+    torch checkpoint (VERDICT r2 item 5): the day the real
+    groundingdino_swint_ogc.pth appears, the AP check is exactly these two
+    commands — converter CLI reporting zero unmatched keys / zero merge
+    problems, then eval_coco consuming the torch .pth directly at full
+    model dimensions."""
+    oracle_stubs = pytest.importorskip("tests.oracle_stubs")
+    if not os.path.isdir("/root/reference"):
+        pytest.skip("reference repo not available")
+    from tests.common import tiny_tokenizer
+    from tests.oracle_stubs import build_fullsize_reference_model
+
+    tok = tiny_tokenizer()
+    ref = build_fullsize_reference_model(tok, max_text_len=256, seed=0)
+    ckpt = tmp_path / "fake_ogc.pth"
+    torch.save({"model": ref.state_dict()}, str(ckpt))
+    del ref
+
+    inv = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(k for k, _ in inv) + "\n")
+
+    # step 1: converter CLI (runbook §2)
+    p = _run([
+        "scripts/convert_checkpoint.py",
+        "--torch", str(ckpt), "--out", str(tmp_path / "ckpt_jax"),
+        "--preset", "groundingdino",
+    ], timeout=3600)
+    assert "unmatched torch keys: 0" in p.stdout, p.stdout[-2000:]
+    assert "merge problems: 0" in p.stdout, p.stdout[-2000:]
+    assert (tmp_path / "ckpt_jax").exists()
+
+    # step 2: eval_coco straight off the torch checkpoint (runbook §4) at
+    # FULL model dimensions on 2 synthetic images (256px bucket: smallest
+    # size with >= 900 multi-scale tokens for top-900 query selection)
+    droot = tmp_path / "ds"
+    _write_coco_task(str(droot), ["cat", "dog"], n_train=1, n_test=2, seed=11)
+    out = tmp_path / "metrics.json"
+    data_ov = tmp_path / "full_data.json"
+    data_ov.write_text(json.dumps({"model": {}, "data": {
+        "shape_buckets": [[256, 256]], "test_short_side": 256,
+        "max_size": 256, "num_workers": 0}}))
+    p = _run([
+        "scripts/eval_coco.py",
+        "--checkpoint", str(ckpt), "--vocab", str(vocab),
+        "--json", str(droot / "test" / "annotations_without_background.json"),
+        "--image-root", str(droot / "test"),
+        "--preset", "groundingdino",
+        "--batch-size", "1", "--output", str(out),
+        "--config-overrides", str(data_ov),
+    ], timeout=3600)
+    res = json.loads(out.read_text())
+    assert "AP" in res and np.isfinite(res["AP"]), res

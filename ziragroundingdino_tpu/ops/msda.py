@@ -29,6 +29,7 @@ Shapes (batch-first, like the reference's `im2col` layout):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence, Tuple
 
 import jax
@@ -257,7 +258,10 @@ def ms_deform_attn_xla_quad(
         out = out.reshape(B, Q, H, 4, D).sum(3)
         return out.reshape(B, Q, H * D).astype(compute_dtype)
 
-    if B * Q * H * k >= 1 << 20 and B <= 2:
+    # strategy knob for batch>2 experiments: raise to use the per-(b,h)
+    # scan at larger batches instead of per-image tables
+    bh_max_b = int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2"))
+    if B * Q * H * k >= 1 << 20 and B <= bh_max_b:
         # Large (encoder-scale) case at small batch: scan over (b, h) pairs
         # so each gather reads from its own ~10 MB table slice. v5e gather
         # rate vs table size has a cliff (~440 rows/us under ~16 MB, ~380 at
@@ -287,9 +291,14 @@ def ms_deform_attn_xla_quad(
         table_b = quad_table.reshape(B, H * sq, 4 * D)
         idx_b = idx_flat - (jnp.arange(B, dtype=idx_flat.dtype) * (H * sq))[:, None, None, None]
 
-        # bound the per-step gathered temporary [qc, H, K, 4D] to ~128 MB
-        # bf16 (the unchunked encoder-scale row block is ~650 MB/image)
-        max_elems = 1 << 26
+        # bound the per-step gathered temporary [qc, H, K, 4D]: the
+        # unchunked encoder-scale row block is ~650 MB bf16/image, which is
+        # FINE on 16 GB HBM and fastest (chunking this path measured -7%
+        # img/s at b=4/8 and a 10x compile blowup from the nested scan), so
+        # the bound only kicks in beyond ~1.5 GB temporaries — images much
+        # larger than the 800x1216 eval bucket or K far above 64 — where
+        # the unbounded path would OOM (ADVICE r2)
+        max_elems = 3 << 28
         row_elems = H * k * 4 * D
         if Q * row_elems > max_elems:
             qc2 = max(1024, (max_elems // row_elems // 1024) * 1024)
