@@ -325,7 +325,10 @@ def test_crowd_flows_from_json_to_eval_batch(tmp_path):
     ev_loader = DataLoader(ds, tiny_tokenizer(), cfg, batch_size=1, train=False,
                            max_text_len=32, max_categories=8)
     batch = next(iter(ev_loader))
-    assert batch["crowd_valid"][0, 0] and not batch["crowd_valid"][0, 1]
+    # crowd arrays are host-only and sized by the batch's true crowd count
+    # (no truncation at max_boxes; ADVICE r2)
+    assert batch["crowd_valid"].shape == (1, 1)
+    assert batch["crowd_valid"][0, 0]
     # training batches carry no crowd keys (crowds never train)
     tr_loader = DataLoader(ds, tiny_tokenizer(), cfg, batch_size=1, train=True,
                            max_text_len=32, max_categories=8)
