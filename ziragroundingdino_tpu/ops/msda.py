@@ -107,38 +107,45 @@ def _quad_coords(spatial_shapes, sampling_locations, attention_weights):
     through `wts` — index derivatives are zero a.e. (floor), matching the
     reference CUDA backward which differentiates only the lerp weights."""
     B, Q, H, L, P, _ = sampling_locations.shape
-    idx_parts = []
-    wts_parts = []
-    quad_start = 0
-    for lvl, (h_l, w_l) in enumerate(spatial_shapes):
-        h_l, w_l = int(h_l), int(w_l)
-        loc = sampling_locations[:, :, :, lvl].astype(jnp.float32)  # [B,Q,H,P,2]
-        attn = attention_weights[:, :, :, lvl].astype(jnp.float32)  # [B,Q,H,P]
-        x = loc[..., 0] * w_l - 0.5
-        y = loc[..., 1] * h_l - 0.5
-        x0 = jnp.floor(x)
-        y0 = jnp.floor(y)
-        wx1 = x - x0
-        wy1 = y - y0
-        qw = w_l + 1
-        x0i = jnp.clip(jax.lax.stop_gradient(x0).astype(jnp.int32), -1, w_l - 1)
-        y0i = jnp.clip(jax.lax.stop_gradient(y0).astype(jnp.int32), -1, h_l - 1)
-        idx_parts.append(quad_start + (y0i + 1) * qw + (x0i + 1))
-        quad_start += (h_l + 1) * qw
+    # Vectorized over levels: per-level constants ride a broadcast [L] axis
+    # instead of a python loop of slices+stacks (the loop emitted per-level
+    # relayout copies, ~1.6 ms/fwd in the r3 trace). One fused elementwise
+    # chain produces idx/wts for all levels at once.
+    wl = jnp.asarray([float(w_) for _, w_ in spatial_shapes], jnp.float32)
+    hl = jnp.asarray([float(h_) for h_, _ in spatial_shapes], jnp.float32)
+    qw_l = jnp.asarray([int(w_) + 1 for _, w_ in spatial_shapes], jnp.int32)
+    starts_np = np.cumsum([0] + [ (int(h_) + 1) * (int(w_) + 1)
+                                  for h_, w_ in spatial_shapes])[:-1]
+    start_l = jnp.asarray(starts_np, jnp.int32)
+    sh = (1, 1, 1, L, 1)  # broadcast shape for the level axis
 
-        corner_ws = []
-        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-            xi = jax.lax.stop_gradient(x0).astype(jnp.int32) + dx
-            yi = jax.lax.stop_gradient(y0).astype(jnp.int32) + dy
-            w = (wx1 if dx else (1.0 - wx1)) * (wy1 if dy else (1.0 - wy1))
-            valid = (xi >= 0) & (xi < w_l) & (yi >= 0) & (yi < h_l)
-            corner_ws.append(jnp.where(valid, w, 0.0) * attn)
-        wts_parts.append(jnp.stack(corner_ws, axis=-1))  # [B,Q,H,P,4]
+    loc = sampling_locations.astype(jnp.float32)  # [B,Q,H,L,P,2]
+    attn = attention_weights.astype(jnp.float32)  # [B,Q,H,L,P]
+    x = loc[..., 0] * wl.reshape(sh) - 0.5
+    y = loc[..., 1] * hl.reshape(sh) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    x0g = jax.lax.stop_gradient(x0).astype(jnp.int32)
+    y0g = jax.lax.stop_gradient(y0).astype(jnp.int32)
+    wli = jnp.asarray([int(w_) for _, w_ in spatial_shapes], jnp.int32).reshape(sh)
+    hli = jnp.asarray([int(h_) for h_, _ in spatial_shapes], jnp.int32).reshape(sh)
+    x0i = jnp.clip(x0g, -1, wli - 1)
+    y0i = jnp.clip(y0g, -1, hli - 1)
+    idx = start_l.reshape(sh) + (y0i + 1) * qw_l.reshape(sh) + (x0i + 1)
+
+    corner_ws = []
+    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+        xi = x0g + dx
+        yi = y0g + dy
+        w = (wx1 if dx else (1.0 - wx1)) * (wy1 if dy else (1.0 - wy1))
+        valid = (xi >= 0) & (xi < wli) & (yi >= 0) & (yi < hli)
+        corner_ws.append(jnp.where(valid, w, 0.0) * attn)
+    wts = jnp.stack(corner_ws, axis=-1)  # [B,Q,H,L,P,4]
 
     k = L * P
-    idx = jnp.stack(idx_parts, axis=3).reshape(B, Q, H, k)
-    wts = jnp.stack(wts_parts, axis=3).reshape(B, Q, H, k, 4)
-    return idx, wts
+    return idx.reshape(B, Q, H, k), wts.reshape(B, Q, H, k, 4)
 
 
 def _quad_prep(
@@ -193,6 +200,69 @@ _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
 )
 
 
+def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0):
+    """Encoder-scale MSDA at small batch — the b<=2 inference fast path.
+
+    Three r3 trace-driven refinements over the per-(b,h) `lax.scan`:
+      * fully unrolled over (b, h) AND Q chunks of `qc`: a while-loop
+        serializes the ~527 us gather against the ~171 us weighted reduce;
+        unrolled+chunked the DMA pipelines (10.15 -> 9.0 ms/call at encoder
+        scale, scripts/bench_msda_variants.py) and compile drops ~70x,
+      * head-major coords: `_quad_coords` is called on [B,H,Q,...]-swapped
+        inputs so per-head idx/wts slices are contiguous — the [B,Q,H,K,4]
+        relayout copies (~0.3 ms/layer) disappear into the producer chain,
+      * per-head outputs are lane-concatenated to [Q, H*4D] and the 4-corner
+        fold becomes one constant block-one-hot MXU matmul fused with the
+        head interleave — replacing the [B,H,Q,4D]->[B,Q,H,4D] transpose
+        copy + strided fold-sum.
+    """
+    B, S, H, D = value.shape
+    _, Q, _, L, P, _ = loc.shape
+    k = L * P
+    cd = value.dtype
+    quad_table, sq = _quad_table_build(value, spatial_shapes)
+    table_bh = quad_table.reshape(B * H, sq, 4 * D)
+    # dims 1,2 of loc/attn are positional-only for _quad_coords
+    idx, wts = _quad_coords(
+        spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2)
+    )  # idx [B,H,Q,K] rows local to one (b,h) table, wts [B,H,Q,K,4]
+    wts = wts.astype(cd)
+    n_c = -(-Q // qc) if qc else 1
+    qc = qc or Q
+    heads = []
+    for b in range(B):
+        for hh in range(H):
+            tb = table_bh[b * H + hh]
+            chunks = []
+            for c in range(n_c):
+                lo = c * qc
+                hi = min(Q, lo + qc)
+                ci = idx[b, hh, lo:hi]
+                w4 = wts[b, hh, lo:hi]
+                g = jax.lax.gather(
+                    tb, ci.reshape(-1, 1), _GATHER_DNUMS,
+                    slice_sizes=(1, 4 * D),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                ).reshape(hi - lo, k, 4 * D)
+                chunks.append(
+                    jnp.sum(g * _lane_expand(w4, D), axis=1, dtype=jnp.float32)
+                )
+            heads.append(jnp.concatenate(chunks, 0) if n_c > 1 else chunks[0])
+    # corner fold + head interleave as one constant one-hot matmul:
+    # fold[h*4D + c*D + d, h*D + d] = 1
+    fold_np = np.zeros((H * 4 * D, H * D), np.float32)
+    for hh in range(H):
+        for c_ in range(4):
+            cols = hh * D + np.arange(D)
+            fold_np[hh * 4 * D + c_ * D + np.arange(D), cols] = 1.0
+    fold = jnp.asarray(fold_np, cd)
+    outs = []
+    for b in range(B):
+        wide = jnp.concatenate(heads[b * H:(b + 1) * H], axis=1).astype(cd)
+        outs.append(jnp.dot(wide, fold, preferred_element_type=cd))
+    return jnp.stack(outs).reshape(B, Q, H * D)
+
+
 def ms_deform_attn_xla_quad(
     value: jnp.ndarray,
     spatial_shapes: Sequence[Tuple[int, int]],
@@ -223,10 +293,19 @@ def ms_deform_attn_xla_quad(
     B, S, H, D = value.shape
     _, Q, _, L, P, _ = sampling_locations.shape
     compute_dtype = value.dtype
+    k = L * P
+
+    # strategy knob for batch>2 experiments: raise to use the per-(b,h)
+    # path at larger batches instead of per-image tables
+    bh_max_b = int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2"))
+    if (not (q_chunk and q_chunk < Q)) and B * Q * H * k >= 1 << 20 and B <= bh_max_b:
+        return _quad_small_batch(
+            value, spatial_shapes, sampling_locations, attention_weights
+        )
+
     quad_table, idx_flat, wts, sq = _quad_prep(
         value, spatial_shapes, sampling_locations, attention_weights
     )
-    k = L * P
 
     def weighted_gather(table, ci, w4, b, qn):
         # table [b*H*sq, 4D], ci [b,qn,H,K] rows into table, w4 [b,qn,H,K,4]
@@ -258,32 +337,7 @@ def ms_deform_attn_xla_quad(
         out = out.reshape(B, Q, H, 4, D).sum(3)
         return out.reshape(B, Q, H * D).astype(compute_dtype)
 
-    # strategy knob for batch>2 experiments: raise to use the per-(b,h)
-    # scan at larger batches instead of per-image tables
-    bh_max_b = int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2"))
-    if B * Q * H * k >= 1 << 20 and B <= bh_max_b:
-        # Large (encoder-scale) case at small batch: scan over (b, h) pairs
-        # so each gather reads from its own ~10 MB table slice. v5e gather
-        # rate vs table size has a cliff (~440 rows/us under ~16 MB, ~380 at
-        # 43 MB, ~150 above 64 MB, measured) — the finest granularity wins
-        # when the scan is short.
-        table_bh = quad_table.reshape(B * H, sq, 4 * D)
-        bh_base = (jnp.arange(B)[:, None] * H + jnp.arange(H)[None, :]) * sq
-        idx_loc = idx_flat - bh_base[:, None, :, None]
-        idx_bh = jnp.moveaxis(idx_loc, 2, 1).reshape(B * H, Q, k)
-        wts_bh = jnp.moveaxis(wts, 2, 1).reshape(B * H, Q, k, 4)
-
-        def per_bh(_, xs):
-            tb, ci, w4 = xs
-            g = jax.lax.gather(
-                tb, ci.reshape(-1, 1), _GATHER_DNUMS, slice_sizes=(1, 4 * D),
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            ).reshape(Q, k, 4 * D)
-            return None, jnp.sum(g * _lane_expand(w4, D), axis=1, dtype=jnp.float32)
-
-        _, out = jax.lax.scan(per_bh, None, (table_bh, idx_bh, wts_bh))
-        out = jnp.moveaxis(out.reshape(B, H, Q, 4 * D), 1, 2)  # [B,Q,H,4D]
-    elif B > 1:
+    if B > 1:
         # larger batches: per-IMAGE tables (43 MB, ~380 rows/us) amortize
         # scan overhead better than 8x more per-(b,h) iterations — the
         # round-1 "throughput anti-monotone in batch size" came from one
