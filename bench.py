@@ -123,14 +123,26 @@ def main():
                 log(f"train bench b={tb} remat={remat} failed: "
                     f"{type(e).__name__}: {str(e)[:200]}")
 
+    # Anchored baseline: the only published measurement of the reference
+    # model family is YOLO-World (CVPR 2024, Tab. 1): Grounding-DINO-T at
+    # 1.5 FPS on a V100 (eager PyTorch, 800px eval resolution). Published
+    # A100-vs-V100 speedups for eager torch CNN/transformer detection
+    # workloads cluster at 1.8-2.5x (NVIDIA A100 whitepaper fp32/TF32
+    # figures; MLPerf inference gaps); 2.5x is the generous end, giving
+    # 3.75 img/s on A100. The 8.0 default above more than doubles that
+    # again, so `vs_baseline` (primary) is strictly conservative and
+    # `vs_baseline_anchored` is the best-evidence comparison.
+    anchored = 1.5 * 2.5
     print(json.dumps({
         "metric": "gdino_t_inference_throughput_800x1216",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
+        "vs_baseline_anchored": round(ips / anchored, 3),
         "baseline_note": (
             f"assumed A100 eager rate {A100_BASELINE_IPS} img/s (conservative; "
-            "published anchor: 1.5 FPS on V100, YOLO-World CVPR'24 Tab.1)"
+            "anchored: 1.5 FPS on V100 x 2.5 A100/V100 = 3.75 img/s, "
+            "YOLO-World CVPR'24 Tab.1)"
         ),
         **train_metrics,
     }))

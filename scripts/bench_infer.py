@@ -66,6 +66,12 @@ def main():
     t0 = time.time()
     float(fwd(params, pixels, mask, text, jnp.float32(0)))
     log(f"compile+first {time.time()-t0:.1f}s")
+    # warmup: the first post-compile execution carries one-off buffer /
+    # dispatch costs (~140 ms at b=1) — without this, the 10-iter average
+    # reads ~14 ms high (r3: 88.4 vs bench.py's 74.0 on identical code)
+    t0 = time.time()
+    float(fwd(params, pixels, mask, text, jnp.float32(0.5)))
+    log(f"warm single-call {time.time()-t0:.3f}s")
     t0 = time.time()
     acc = []
     for i in range(args.iters):

@@ -57,21 +57,23 @@ class BiMultiHeadAttention(nn.Module):
         val_v = heads(Dense(self.embed_dim, dtype=cd, name="values_v_proj")(v))
         val_l = heads(Dense(self.embed_dim, dtype=cd, name="values_l_proj")(l))
 
-        # [B, h, Nv, Nl] shared logits
+        # [B, h, Nv, Nl] shared logits. The reference's "stable softmax"
+        # prelude (global-max subtract at `fuse_modules.py:184`, +-50000
+        # clamps, per-direction max subtract) is an exact no-op here:
+        # softmax is shift-invariant, `jax.nn.softmax` subtracts the row
+        # max internally, and after a max subtraction the clamps never
+        # bind in f32 (they exist for the reference's fp16 AMP). Folding
+        # them away removes ~8 elementwise passes + one transpose copy
+        # over the [Nv, Nl] f32 matrix per fusion layer (Nv ~= 20k).
         logits = jnp.einsum("bhvd,bhld->bhvl", q_v, k_l).astype(jnp.float32)
-        # stable softmax: subtract the global max (`fuse_modules.py:184`)
-        logits = logits - jax.lax.stop_gradient(jnp.max(logits))
-        logits = jnp.clip(logits, -50000.0, 50000.0)
 
-        # text->vision direction softmaxes over Nv (rows of logits^T)
-        logits_l = jnp.swapaxes(logits, -1, -2)  # [B, h, Nl, Nv]
-        logits_l = logits_l - jax.lax.stop_gradient(
-            jnp.max(logits_l, axis=-1, keepdims=True)
-        )
-        logits_l = jnp.clip(logits_l, -50000.0, 50000.0)
+        # text->vision direction softmaxes over Nv (axis -2; keeping the
+        # [B, h, Nv, Nl] layout lets the out_l einsum contract over v
+        # without the explicit logits^T relayout)
+        logits_l = logits
         if mask_v is not None:
-            logits_l = jnp.where(mask_v[:, None, None, :], logits_l, NEG_INF)
-        attn_l = jax.nn.softmax(logits_l, axis=-1)
+            logits_l = jnp.where(mask_v[:, None, :, None], logits_l, NEG_INF)
+        attn_l = jax.nn.softmax(logits_l, axis=-2)  # [B, h, Nv, Nl]
 
         if mask_l is not None:
             logits = jnp.where(mask_l[:, None, None, :], logits, NEG_INF)
@@ -82,7 +84,7 @@ class BiMultiHeadAttention(nn.Module):
             attn_l = nn.Dropout(self.dropout)(attn_l, deterministic=False)
 
         out_v = jnp.einsum("bhvl,bhld->bhvd", attn_v.astype(cd), val_l)
-        out_l = jnp.einsum("bhlv,bhvd->bhld", attn_l.astype(cd), val_v)
+        out_l = jnp.einsum("bhvl,bhvd->bhld", attn_l.astype(cd), val_v)
 
         out_v = out_v.transpose(0, 2, 1, 3).reshape(v.shape[0], v.shape[1], self.embed_dim)
         out_l = out_l.transpose(0, 2, 1, 3).reshape(l.shape[0], l.shape[1], self.embed_dim)

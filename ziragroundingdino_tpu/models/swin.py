@@ -90,6 +90,11 @@ class WindowAttention(nn.Module):
         rel_bias = bias_table[rel_idx.reshape(-1)].reshape(n, n, h)
         rel_bias = rel_bias.transpose(2, 0, 1)  # [h, N, N]
 
+        # NOTE(r3): leaving q/k/v in the Dense's native [B*nW, N, h, hd]
+        # layout and giving dot_general the head axis as a trailing batch
+        # dim measured 100.3 ms/fwd vs 74.4 at b=1 — XLA's internal operand
+        # relayouts cost far more than these explicit transposes. Keep the
+        # up-front [3, B*nW, h, N, hd] transpose.
         qkv = Dense(3 * c, use_bias=self.qkv_bias, dtype=cd, name="qkv")(x)
         qkv = qkv.reshape(bw, n, 3, h, hd).transpose(2, 0, 3, 1, 4)  # [3, B*nW, h, N, hd]
         q, k, v = qkv[0], qkv[1], qkv[2]

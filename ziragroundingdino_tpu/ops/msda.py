@@ -46,10 +46,10 @@ def _quad_sizes(spatial_shapes) -> Tuple[int, ...]:
     return tuple((int(h) + 1) * (int(w) + 1) for h, w in spatial_shapes)
 
 
-def _quad_table_build(value: jnp.ndarray, spatial_shapes):
-    """Re-pack each level's value map into the flat quad table
-    ``quad[y+1, x+1] = (V[y,x], V[y,x+1], V[y+1,x], V[y+1,x+1])`` (zero
-    padded border). Returns ([B*H*Sq, 4D], sq)."""
+def _quad_table_build_split(value: jnp.ndarray, spatial_shapes):
+    """Per-level quad tables: ``quad[y+1, x+1] = (V[y,x], V[y,x+1],
+    V[y+1,x], V[y+1,x+1])`` (zero padded border). Returns a list of
+    [B, H, (h_l+1)*(w_l+1), 4D] arrays, one per level."""
     B, S, H, D = value.shape
     value_bh = jnp.swapaxes(value, 1, 2)  # [B, H, S, D]
     quads = []
@@ -67,6 +67,14 @@ def _quad_table_build(value: jnp.ndarray, spatial_shapes):
         )  # [B, H, h+1, w+1, 4D]; index (y0+1, x0+1)
         qh, qw = h_l + 1, w_l + 1
         quads.append(quad.reshape(B, H, qh * qw, 4 * D))
+    return quads
+
+
+def _quad_table_build(value: jnp.ndarray, spatial_shapes):
+    """Flat all-level quad table ([B*H*Sq, 4D], sq); see
+    `_quad_table_build_split` for the per-level packing rule."""
+    B, S, H, D = value.shape
+    quads = _quad_table_build_split(value, spatial_shapes)
     sq = sum(_quad_sizes(spatial_shapes))
     return jnp.concatenate(quads, axis=2).reshape(B * H * sq, 4 * D), sq
 
@@ -99,13 +107,17 @@ def _quad_table_adjoint(d_table: jnp.ndarray, spatial_shapes, B: int, H: int, D:
     return jnp.swapaxes(jnp.concatenate(parts, axis=2), 1, 2)
 
 
-def _quad_coords(spatial_shapes, sampling_locations, attention_weights):
+def _quad_coords(spatial_shapes, sampling_locations, attention_weights,
+                 flat=True):
     """Per-sample quad-table indices and bilinear corner weights.
 
     Returns (idx [B,Q,H,K] int32 rows into one image-head's quad table,
-    wts [B,Q,H,K,4] float32). Differentiable wrt (locations, weights)
-    through `wts` — index derivatives are zero a.e. (floor), matching the
-    reference CUDA backward which differentiates only the lerp weights."""
+    wts [B,Q,H,K,4] float32); with ``flat=False`` the level axis stays
+    separate and rows are local to each LEVEL's own quad table
+    (idx [B,Q,H,L,P], wts [B,Q,H,L,P,4]). Differentiable wrt (locations,
+    weights) through `wts` — index derivatives are zero a.e. (floor),
+    matching the reference CUDA backward which differentiates only the
+    lerp weights."""
     B, Q, H, L, P, _ = sampling_locations.shape
     # Vectorized over levels: per-level constants ride a broadcast [L] axis
     # instead of a python loop of slices+stacks (the loop emitted per-level
@@ -143,6 +155,10 @@ def _quad_coords(spatial_shapes, sampling_locations, attention_weights):
         valid = (xi >= 0) & (xi < wli) & (yi >= 0) & (yi < hli)
         corner_ws.append(jnp.where(valid, w, 0.0) * attn)
     wts = jnp.stack(corner_ws, axis=-1)  # [B,Q,H,L,P,4]
+
+    if not flat:
+        # per-level local rows (no start offset), level axis kept separate
+        return idx - start_l.reshape(sh), wts
 
     k = L * P
     return idx.reshape(B, Q, H, k), wts.reshape(B, Q, H, k, 4)
@@ -220,6 +236,36 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0):
     _, Q, _, L, P, _ = loc.shape
     k = L * P
     cd = value.dtype
+    if os.environ.get("ZGDINO_MSDA_SPLIT_LEVELS", "0") == "1":
+        # Per-LEVEL tables and gathers: no flat-table concatenate and no
+        # cross-level layout copies; same total gather rows (Q*P per level).
+        # MEASURED LOSS on v5e (r3): 85.7 ms/fwd vs 74.4 flat at b=1 — the
+        # 4x shorter per-level gathers pay more in issue overhead than the
+        # concat/copy removal saves. Kept env-gated for re-measurement on
+        # future hardware; default is the flat path below.
+        tables = _quad_table_build_split(value, spatial_shapes)
+        idx, wts = _quad_coords(
+            spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2),
+            flat=False,
+        )  # idx [B,H,Q,L,P] local rows, wts [B,H,Q,L,P,4]
+        wts = wts.astype(cd)
+        heads = []
+        for b in range(B):
+            for hh in range(H):
+                acc = None
+                for lv in range(L):
+                    ci = idx[b, hh, :, lv]  # [Q,P]
+                    w4 = wts[b, hh, :, lv]  # [Q,P,4]
+                    g = jax.lax.gather(
+                        tables[lv][b, hh], ci.reshape(-1, 1), _GATHER_DNUMS,
+                        slice_sizes=(1, 4 * D),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                    ).reshape(Q, P, 4 * D)
+                    part = jnp.sum(g * _lane_expand(w4, D), axis=1,
+                                   dtype=jnp.float32)
+                    acc = part if acc is None else acc + part
+                heads.append(acc)
+        return _fold_heads(heads, B, Q, H, D, cd)
     quad_table, sq = _quad_table_build(value, spatial_shapes)
     table_bh = quad_table.reshape(B * H, sq, 4 * D)
     # dims 1,2 of loc/attn are positional-only for _quad_coords
@@ -248,8 +294,13 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0):
                     jnp.sum(g * _lane_expand(w4, D), axis=1, dtype=jnp.float32)
                 )
             heads.append(jnp.concatenate(chunks, 0) if n_c > 1 else chunks[0])
-    # corner fold + head interleave as one constant one-hot matmul:
-    # fold[h*4D + c*D + d, h*D + d] = 1
+    return _fold_heads(heads, B, Q, H, D, cd)
+
+
+def _fold_heads(heads, B, Q, H, D, cd):
+    """Corner fold + head interleave as one constant one-hot matmul:
+    fold[h*4D + c*D + d, h*D + d] = 1. `heads` is a length-B*H list of
+    [Q, 4D] f32 per-head partial sums."""
     fold_np = np.zeros((H * 4 * D, H * D), np.float32)
     for hh in range(H):
         for c_ in range(4):
@@ -368,8 +419,32 @@ def ms_deform_attn_xla_quad(
         idx_bc = idx_b.reshape(B, n_c2, qc2, H, k)
         wts_bc = wts_b.reshape(B, n_c2, qc2, H, k, 4)
 
+        # heads per inner gather table (0 = all H in one per-image table).
+        # Smaller tables ride the gather-rate cliff (~10 MB -> ~600 rows/us
+        # vs ~390 at the 43 MB whole-image table); the inner python loop is
+        # unrolled, NOT a 64-iteration (b,h) scan (which crashed the relay
+        # worker in r2 — see BASELINE.md).
+        head_group = int(os.environ.get("ZGDINO_MSDA_IMG_HEAD_GROUP", "0"))
+
         def per_img(_, tiw):
             tb, ci, cw = tiw  # [H*sq,4D], [n_c2,qc2,H,k], [n_c2,qc2,H,k,4]
+            if n_c2 == 1 and head_group and head_group < H and H % head_group == 0:
+                hg = head_group
+                ng = H // hg
+                tbg = tb.reshape(ng, hg * sq, 4 * D)
+                parts = []
+                for gi in range(ng):
+                    cig = ci[0, :, gi * hg:(gi + 1) * hg] - gi * hg * sq
+                    cwg = cw[0, :, gi * hg:(gi + 1) * hg]
+                    g = jax.lax.gather(
+                        tbg[gi], cig.reshape(-1, 1), _GATHER_DNUMS,
+                        slice_sizes=(1, 4 * D),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                    ).reshape(qc2, hg, k, 4 * D)
+                    parts.append(
+                        jnp.sum(g * _lane_expand(cwg, D), axis=2,
+                                dtype=jnp.float32))
+                return None, jnp.concatenate(parts, axis=1)  # [qc2, H, 4D]
             if n_c2 == 1:
                 return None, weighted_gather(tb, ci[0][None], cw[0][None], 1, qc2)[0]
 
