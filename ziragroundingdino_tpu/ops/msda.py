@@ -642,6 +642,14 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
     w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
     g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
 
+    # bf16 scatter accumulator (experimental): halves the accumulator
+    # bytes; each slot receives ~K contributions, so bf16 rounding adds
+    # ~sqrt(K)*2^-9 ~ 0.8% relative grad noise. Only meaningful if the
+    # v5e scatter engine is byte-bound rather than row-bound.
+    acc_dtype = (cd if cd == jnp.bfloat16 and
+                 os.environ.get("ZGDINO_MSDA_BF16_SCATTER", "0") == "1"
+                 else jnp.float32)
+
     def per_bh(xs):
         tb, ci, w4c, g4c = xs  # [sq,4D], [Q,K], [Q,K,4], [Q,4D]
         rows = jax.lax.gather(
@@ -649,12 +657,12 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
         ).reshape(Q, k, 4 * D)
         g4b = g4c[:, None, :]  # broadcast over K
-        d_rows = (g4b * _lane_expand(w4c, D)).astype(jnp.float32)
+        d_rows = (g4b * _lane_expand(w4c, D)).astype(acc_dtype)
         d_tb = jax.lax.scatter_add(
-            jnp.zeros((sq, 4 * D), jnp.float32), ci.reshape(-1, 1),
+            jnp.zeros((sq, 4 * D), acc_dtype), ci.reshape(-1, 1),
             d_rows.reshape(-1, 4 * D), _SCATTER_DNUMS,
             mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )
+        ).astype(jnp.float32)
         d_w_wide = g4b * rows  # [Q,K,4D]
         d_w4c = jnp.dot(
             d_w_wide.reshape(-1, 4 * D).astype(jnp.float32), foldT,
