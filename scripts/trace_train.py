@@ -39,7 +39,10 @@ class Wrap:
     @staticmethod
     def apply(p, *a, **k): return model.apply({"params": p}, *a, **k)
 state = TrainState(step=jnp.zeros((), jnp.int32), params=params["params"], opt_state=tx.init(params["params"]))
-step = make_train_step(Wrap, tx, matcher_impl="jax", donate=False, trainable=mask_t)
+# donate=True matches production AND avoids double-buffering the
+# params+opt state next to the ~4 GB saved-rows residuals (a
+# donate=False run at 800x1216 OOM-crashed the relay worker, r3)
+step = make_train_step(Wrap, tx, matcher_impl="jax", trainable=mask_t)
 key = jax.random.PRNGKey(0)
 state, m = step(state, batch, key); float(m["total_loss"])
 t0=time.time(); state, m = step(state, batch, jax.random.fold_in(key,1)); float(m["total_loss"]); print("step ms:", (time.time()-t0)*1e3, flush=True)
@@ -61,3 +64,14 @@ for c, (d, cnt) in sorted(cat.items(), key=lambda kv: -kv[1][0])[:14]:
 singles = sorted((e for e in ev if not e['name'].startswith(('jit_','while')) and e['name']!='2'), key=lambda e:-e['dur'])[:10]
 for e in singles:
     print(f"  single {e['dur']/1e3:6.2f} ms {str(e.get('args',{}).get('long_name',''))[:110]}")
+# top ops per interesting category, aggregated by op name
+for want in ('data formatting', 'loop fusion', 'convolution fusion'):
+    agg = collections.defaultdict(lambda: [0.0, 0, ''])
+    for e in ev:
+        c = e.get('args', {}).get('hlo_category')
+        if c != want: continue
+        a = agg[e['name']]; a[0] += e['dur']; a[1] += 1
+        a[2] = str(e.get('args', {}).get('long_name', ''))[:150]
+    print(f"== top {want} ==")
+    for n,(d,cnt,ln) in sorted(agg.items(), key=lambda kv:-kv[1][0])[:12]:
+        print(f"  {d/1e3:7.2f} ms x{cnt:5d} {n[:28]:28s} {ln}")

@@ -6,6 +6,8 @@ align_corners=False)`` composition — the reference's golden CPU path
 itself is torch-free.
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -174,3 +176,32 @@ def test_custom_vjp_chunked_matches_unchunked():
     g8 = loss(8)
     for c, a in zip(g0, g8):
         np.testing.assert_allclose(np.asarray(c), np.asarray(a), rtol=1e-5, atol=1e-6)
+
+
+def test_custom_vjp_saved_rows_matches_autodiff():
+    """The saved-rows residual mode (rows kept from the forward; backward
+    skips table rebuild + regather) must produce identical gradients to the
+    memory-lean regather mode. Shapes sit above the 1<<20 small-batch gate
+    so `_quad_fwd` actually takes the saved path (B*Q*H*K = 2^21)."""
+    from ziragroundingdino_tpu.ops.msda import (
+        ms_deform_attn_quad, ms_deform_attn_xla_quad)
+
+    rng = np.random.default_rng(7)
+    value, locs, attn = _rand_inputs(rng, B=2, Q=8192, H=4, D=8, P=8,
+                                     shapes=((16, 16), (8, 8)))
+
+    def loss_fn(f):
+        def loss(v, l, a):
+            out = f(jnp.asarray(v), ((16, 16), (8, 8)),
+                    jnp.asarray(l), jnp.asarray(a))
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
+
+    import ziragroundingdino_tpu.ops.msda as msda_mod
+    assert os.environ.get("ZGDINO_MSDA_SAVE_ROWS", "1") == "1"
+    gc = loss_fn(ms_deform_attn_quad)      # saved-rows custom VJP
+    ga = loss_fn(ms_deform_attn_xla_quad)  # autodiff oracle
+    for name, c, a in zip(("value", "loc", "attn"), gc, ga):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4, err_msg=name
+        )

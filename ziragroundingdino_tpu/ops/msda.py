@@ -216,7 +216,7 @@ _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
 )
 
 
-def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0):
+def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
     """Encoder-scale MSDA at small batch — the b<=2 inference fast path.
 
     Three r3 trace-driven refinements over the per-(b,h) `lax.scan`:
@@ -276,6 +276,7 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0):
     n_c = -(-Q // qc) if qc else 1
     qc = qc or Q
     heads = []
+    rows_saved = []
     for b in range(B):
         for hh in range(H):
             tb = table_bh[b * H + hh]
@@ -290,11 +291,20 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0):
                     slice_sizes=(1, 4 * D),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                 ).reshape(hi - lo, k, 4 * D)
+                if save_rows:
+                    rows_saved.append(g)
                 chunks.append(
                     jnp.sum(g * _lane_expand(w4, D), axis=1, dtype=jnp.float32)
                 )
             heads.append(jnp.concatenate(chunks, 0) if n_c > 1 else chunks[0])
-    return _fold_heads(heads, B, Q, H, D, cd)
+    out = _fold_heads(heads, B, Q, H, D, cd)
+    if save_rows:
+        # one [Q, K, 4D] gathered-row block per (b, h) chain, b-major — the
+        # training residual that lets the custom-VJP backward skip both the
+        # quad-table rebuild and the ~25 ms/step regather (see _quad_bwd)
+        assert n_c == 1
+        return out, tuple(rows_saved)
+    return out
 
 
 def _fold_heads(heads, B, Q, H, D, cd):
@@ -597,6 +607,35 @@ def ms_deform_attn_quad(
 
 
 def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_chunk):
+    B, S, H, D = value.shape
+    Q, L, P = (sampling_locations.shape[1], sampling_locations.shape[3],
+               sampling_locations.shape[4])
+    # Saved-rows mode (default on, ZGDINO_MSDA_SAVE_ROWS=0 to disable):
+    # keep the forward's gathered-row blocks alive as the residual
+    # (~660 MB bf16 per encoder layer at 800x1216 b=1) so the backward
+    # skips the quad-table rebuild AND the regather — measured ~25 ms off
+    # the 6-layer train step on v5e. Only engages on the unrolled
+    # small-batch encoder path; under q-chunked remat or at larger batches
+    # the memory-lean (value, loc, attn) residual below is kept.
+    rows_mb = (B * H * Q * L * P * 4 * D * value.dtype.itemsize) >> 20
+    if (os.environ.get("ZGDINO_MSDA_SAVE_ROWS", "1") == "1"
+            and not (q_chunk and q_chunk < Q) and B * H <= 16
+            and B * Q * H * L * P >= 1 << 20
+            # per-call residual byte cap: at 800x1216 b=1 the six encoder
+            # layers hold 6 x 662 MB which fits 16 GB HBM next to params
+            # and activations; b=2 would double it and OOM (the relay
+            # worker crash-tested this, r3) — larger batches fall back to
+            # the memory-lean regather residual below
+            and rows_mb <= int(os.environ.get("ZGDINO_MSDA_SAVE_ROWS_MAX_MB",
+                                              "800"))
+            and os.environ.get("ZGDINO_MSDA_SPLIT_LEVELS", "0") != "1"
+            and int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2")) >= B):
+        out, rows = _quad_small_batch(
+            value, spatial_shapes, sampling_locations, attention_weights,
+            save_rows=True,
+        )
+        return out, {"rows": rows, "loc": sampling_locations,
+                     "attn": attention_weights}
     out = ms_deform_attn_xla_quad(
         value, spatial_shapes, sampling_locations, attention_weights, q_chunk
     )
@@ -605,13 +644,26 @@ def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_ch
 
 def _quad_bwd(spatial_shapes, q_chunk, res, g):
     del q_chunk  # the (b, h) scan below bounds memory on its own
-    value, loc, attn = res
-    B, S, H, D = value.shape
-    _, Q, _, L, P, _ = loc.shape
+    saved_rows = None
+    if isinstance(res, dict):
+        # saved-rows residual (see _quad_fwd): the forward's gathered-row
+        # blocks are alive, so no table rebuild and no regather here
+        saved_rows, loc, attn = res["rows"], res["loc"], res["attn"]
+        B, Q, H, L, P, _ = loc.shape
+        D = saved_rows[0].shape[-1] // 4
+        S = sum(int(h_) * int(w_) for h_, w_ in spatial_shapes)
+        sq = sum((int(h_) + 1) * (int(w_) + 1) for h_, w_ in spatial_shapes)
+        cd = saved_rows[0].dtype
+        value_dtype = cd
+    else:
+        value, loc, attn = res
+        B, S, H, D = value.shape
+        _, Q, _, L, P, _ = loc.shape
+        cd = value.dtype
+        value_dtype = value.dtype
+        quad_table, sq = _quad_table_build(value, spatial_shapes)
     k = L * P
-    cd = value.dtype
 
-    quad_table, sq = _quad_table_build(value, spatial_shapes)
     idx, wts32 = _quad_coords(spatial_shapes, loc, attn)
     w4_src = wts32.astype(cd)
 
@@ -637,25 +689,27 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
     # big >64 MB table (measured cliff) — the scatter is the backward's
     # dominant cost, so this halves it. Memory per iteration is bounded by
     # the [Q, K, 4D] row block (~83 MB at encoder scale).
-    table_bh = quad_table.reshape(B * H, sq, 4 * D)
+    table_bh = (None if saved_rows is not None
+                else quad_table.reshape(B * H, sq, 4 * D))
     idx_bh = jnp.moveaxis(idx, 2, 1).reshape(B * H, Q, k)
     w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
     g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
 
-    # bf16 scatter accumulator (experimental): halves the accumulator
-    # bytes; each slot receives ~K contributions, so bf16 rounding adds
-    # ~sqrt(K)*2^-9 ~ 0.8% relative grad noise. Only meaningful if the
-    # v5e scatter engine is byte-bound rather than row-bound.
+    # bf16 scatter accumulator (default on under bf16 compute,
+    # ZGDINO_MSDA_BF16_SCATTER=0 for f32): halves the accumulator bytes.
+    # Measured (r3, bracketed): 298/300 ms -> 287 ms on the b=1 no-remat
+    # train step — the v5e scatter engine has a modest byte-bound
+    # component. Each slot receives ~K contributions, so bf16 rounding
+    # adds ~sqrt(K)*2^-9 ~ 0.8% relative noise to d_value only (d_loc /
+    # d_attn stay f32-accumulated); under bf16 compute the surrounding
+    # tape is already bf16-rounded.
     acc_dtype = (cd if cd == jnp.bfloat16 and
-                 os.environ.get("ZGDINO_MSDA_BF16_SCATTER", "0") == "1"
+                 os.environ.get("ZGDINO_MSDA_BF16_SCATTER", "1") == "1"
                  else jnp.float32)
 
-    def per_bh(xs):
-        tb, ci, w4c, g4c = xs  # [sq,4D], [Q,K], [Q,K,4], [Q,4D]
-        rows = jax.lax.gather(
-            tb, ci.reshape(-1, 1), _GATHER_DNUMS, slice_sizes=(1, 4 * D),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        ).reshape(Q, k, 4 * D)
+    def per_bh(rows, ci, w4c, g4c):
+        # rows [Q,K,4D] (saved from forward, or regathered), ci [Q,K],
+        # w4c [Q,K,4], g4c [Q,4D]
         g4b = g4c[:, None, :]  # broadcast over K
         d_rows = (g4b * _lane_expand(w4c, D)).astype(acc_dtype)
         d_tb = jax.lax.scatter_add(
@@ -670,24 +724,36 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
         ).reshape(Q, k, 4)
         return d_tb, d_w4c
 
-    if B * H <= 16:
+    def regather(tb, ci):
+        return jax.lax.gather(
+            tb, ci.reshape(-1, 1), _GATHER_DNUMS, slice_sizes=(1, 4 * D),
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).reshape(Q, k, 4 * D)
+
+    if saved_rows is not None:
+        parts = [per_bh(saved_rows[i], idx_bh[i], w4_bh[i], g4_bh[i])
+                 for i in range(B * H)]
+        d_table = jnp.stack([p[0] for p in parts])
+        d_w4 = jnp.stack([p[1] for p in parts])
+    elif B * H <= 16:
         # unrolled: the per-(b,h) chains are independent, so the scheduler
         # can overlap gathers/reduces with the (dominant) scatters across
         # chains — measured ~6% off the 6-layer fwd+bwd vs lax.scan
-        parts = [per_bh((table_bh[i], idx_bh[i], w4_bh[i], g4_bh[i]))
+        parts = [per_bh(regather(table_bh[i], idx_bh[i]),
+                        idx_bh[i], w4_bh[i], g4_bh[i])
                  for i in range(B * H)]
         d_table = jnp.stack([p[0] for p in parts])
         d_w4 = jnp.stack([p[1] for p in parts])
     else:
         _, (d_table, d_w4) = jax.lax.scan(
-            lambda _, xs: (None, per_bh(xs)), None,
-            (table_bh, idx_bh, w4_bh, g4_bh),
+            lambda _, xs: (None, per_bh(regather(xs[0], xs[1]), *xs[1:])),
+            None, (table_bh, idx_bh, w4_bh, g4_bh),
         )  # [B*H, sq, 4D], [B*H, Q, K, 4]
     d_w4 = jnp.moveaxis(d_w4.reshape(B, H, Q, k, 4), 1, 2)  # [B,Q,H,K,4]
 
     d_value = _quad_table_adjoint(
         d_table.reshape(B * H * sq, 4 * D), spatial_shapes, B, H, D
-    ).astype(value.dtype)
+    ).astype(value_dtype)
 
     # pull the weight cotangent back to (locations, weights) through the
     # bilinear/validity formula (elementwise, cheap)
