@@ -205,3 +205,47 @@ def test_custom_vjp_saved_rows_matches_autodiff():
         np.testing.assert_allclose(
             np.asarray(c), np.asarray(a), rtol=1e-4, atol=1e-4, err_msg=name
         )
+
+
+@pytest.mark.parametrize("env", [
+    {"ZGDINO_MSDA_CONV_TABLE": "1"},
+    {"ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
+    {"ZGDINO_MSDA_FLAT_GATHER": "1"},
+    {"ZGDINO_MSDA_FLAT_GATHER": "1", "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
+])
+def test_small_batch_experimental_paths_exact(env, monkeypatch):
+    """The env-gated r3 perf experiments (conv-built quad table, per-chain
+    coords, flat 2-D-start gather) are numerics-identical to the default
+    small-batch path: the conv kernel is one-hot (one product per output,
+    exact in any dtype) and the gather reads the same rows."""
+    from ziragroundingdino_tpu.ops.msda import _quad_small_batch
+
+    rng = np.random.default_rng(11)
+    value, locs, attn = _rand_inputs(rng, B=2, Q=64, H=4, D=8, P=4)
+    ref = np.asarray(_quad_small_batch(
+        jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn)))
+    for k, v in env.items():
+        monkeypatch.setenv(k, v)
+    got = np.asarray(_quad_small_batch(
+        jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn)))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_quad_table_build_conv_matches_split():
+    from ziragroundingdino_tpu.ops.msda import (
+        _quad_table_build_conv, _quad_table_build_split)
+
+    rng = np.random.default_rng(12)
+    B, H, D = 2, 4, 8
+    S = sum(h * w for h, w in SHAPES)
+    value = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+    split = _quad_table_build_split(value, SHAPES)
+    conv = _quad_table_build_conv(value, SHAPES)
+    for a, b in zip(conv, split):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    flat = _quad_table_build_conv(value, SHAPES, head_major=False)
+    for lv, (h, w) in enumerate(SHAPES):
+        qs = (h + 1) * (w + 1)
+        got = np.asarray(flat[lv]).reshape(B, qs, H, 4 * D)
+        np.testing.assert_array_equal(
+            np.moveaxis(got, 2, 1), np.asarray(split[lv]))

@@ -70,11 +70,64 @@ def _quad_table_build_split(value: jnp.ndarray, spatial_shapes):
     return quads
 
 
+def _quad_corner_kernel(H: int, D: int, dtype) -> jnp.ndarray:
+    """One-hot 2x2 grouped-conv kernel [2, 2, D, H*4D] implementing the quad
+    corner packing: out channel h*4D + c*D + d picks input channel d of head
+    group h at window tap (dy, dx) = (c // 2, c % 2). Exact in any dtype
+    (each output element is one product; no accumulation)."""
+    k = np.zeros((2, 2, D, H * 4 * D), np.float32)
+    for c in range(4):
+        dy, dx = divmod(c, 2)
+        for h in range(H):
+            k[dy, dx, np.arange(D), h * 4 * D + c * D + np.arange(D)] = 1.0
+    return jnp.asarray(k, dtype)
+
+
+def _quad_table_build_conv(value: jnp.ndarray, spatial_shapes,
+                           head_major: bool = True):
+    """Quad tables via one 2x2 one-hot MXU convolution per level.
+
+    Numerics-identical to `_quad_table_build_split` (zero-padded border,
+    corner order v[y-1,x-1], v[y-1,x], v[y,x-1], v[y,x] at table row
+    (y0+1, x0+1)); replaces its pad + 4-shifted-slice + lane-concat chain,
+    which the r3 trace measured at ~1.05 ms/encoder-layer of pad/concat/copy
+    fusions (~10x off the bandwidth floor for a 41 MB table). Returns the
+    per-level [B, H, qsize, 4D] list (`head_major=True`) or the
+    lane-contiguous [B, qsize, H*4D] list (for the 2-D-start flat gather).
+    """
+    B, S, H, D = value.shape
+    kern = _quad_corner_kernel(H, D, value.dtype)
+    v_bl = value.reshape(B, S, H * D)
+    quads = []
+    start = 0
+    for h_l, w_l in spatial_shapes:
+        h_l, w_l = int(h_l), int(w_l)
+        v = jax.lax.dynamic_slice_in_dim(v_bl, start, h_l * w_l, axis=1)
+        start += h_l * w_l
+        out = jax.lax.conv_general_dilated(
+            v.reshape(B, h_l, w_l, H * D), kern,
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=H,
+            preferred_element_type=value.dtype,
+        )  # [B, h+1, w+1, H*4D]
+        qsize = (h_l + 1) * (w_l + 1)
+        if head_major:
+            quads.append(jnp.moveaxis(
+                out.reshape(B, qsize, H, 4 * D), 2, 1))
+        else:
+            quads.append(out.reshape(B, qsize, H * 4 * D))
+    return quads
+
+
 def _quad_table_build(value: jnp.ndarray, spatial_shapes):
     """Flat all-level quad table ([B*H*Sq, 4D], sq); see
     `_quad_table_build_split` for the per-level packing rule."""
     B, S, H, D = value.shape
-    quads = _quad_table_build_split(value, spatial_shapes)
+    if os.environ.get("ZGDINO_MSDA_CONV_TABLE", "0") == "1":
+        quads = _quad_table_build_conv(value, spatial_shapes)
+    else:
+        quads = _quad_table_build_split(value, spatial_shapes)
     sq = sum(_quad_sizes(spatial_shapes))
     return jnp.concatenate(quads, axis=2).reshape(B * H * sq, 4 * D), sq
 
@@ -215,6 +268,12 @@ _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
     offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
 )
 
+# 2-D-start variant: index vectors are (row, lane_start) into a [R, C]
+# table; slice_sizes (1, 4D) picks one head's 128 lanes at a head offset
+_GATHER_DNUMS_2D = jax.lax.GatherDimensionNumbers(
+    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
+)
+
 
 def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
     """Encoder-scale MSDA at small batch — the b<=2 inference fast path.
@@ -266,31 +325,67 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
                     acc = part if acc is None else acc + part
                 heads.append(acc)
         return _fold_heads(heads, B, Q, H, D, cd)
-    quad_table, sq = _quad_table_build(value, spatial_shapes)
-    table_bh = quad_table.reshape(B * H, sq, 4 * D)
-    # dims 1,2 of loc/attn are positional-only for _quad_coords
-    idx, wts = _quad_coords(
-        spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2)
-    )  # idx [B,H,Q,K] rows local to one (b,h) table, wts [B,H,Q,K,4]
-    wts = wts.astype(cd)
+    flat_gather = os.environ.get("ZGDINO_MSDA_FLAT_GATHER", "0") == "1"
+    per_chain = os.environ.get("ZGDINO_MSDA_PER_CHAIN_COORDS", "0") == "1"
+    if flat_gather:
+        # 2-D-start gather straight out of the conv-built lane-contiguous
+        # table [B*sq, H*4D]: no head-major relayout copy at all; each index
+        # is (row, h*4D) and the gather slices 4D lanes at a head offset
+        quads = _quad_table_build_conv(value, spatial_shapes, head_major=False)
+        sq = sum(_quad_sizes(spatial_shapes))
+        table_flat = jnp.concatenate(quads, axis=1).reshape(B * sq, H * 4 * D)
+        table_bh = None
+    else:
+        quad_table, sq = _quad_table_build(value, spatial_shapes)
+        table_bh = quad_table.reshape(B * H, sq, 4 * D)
+    if not per_chain:
+        # dims 1,2 of loc/attn are positional-only for _quad_coords
+        idx, wts = _quad_coords(
+            spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2)
+        )  # idx [B,H,Q,K] rows local to one (b,h) table, wts [B,H,Q,K,4]
+        wts = wts.astype(cd)
     n_c = -(-Q // qc) if qc else 1
     qc = qc or Q
     heads = []
     rows_saved = []
     for b in range(B):
         for hh in range(H):
-            tb = table_bh[b * H + hh]
+            if per_chain:
+                # coords born per (b, h): the [1,1,Q,K(,4)] idx/wts slices
+                # come out of their producer fusion already in the layout
+                # the chain consumes — the r3 trace showed 48 layout copies
+                # (~1.8 ms/fwd, 9 GB/s effective) feeding the chains from
+                # the whole-tensor [B,H,Q,K,4] coords
+                ci_c, w4_c = _quad_coords(
+                    spatial_shapes,
+                    loc[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
+                    attn[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
+                )
+                ci_c = ci_c[0, 0]
+                w4_c = w4_c[0, 0].astype(cd)
+            else:
+                ci_c, w4_c = idx[b, hh], wts[b, hh]
             chunks = []
             for c in range(n_c):
                 lo = c * qc
                 hi = min(Q, lo + qc)
-                ci = idx[b, hh, lo:hi]
-                w4 = wts[b, hh, lo:hi]
-                g = jax.lax.gather(
-                    tb, ci.reshape(-1, 1), _GATHER_DNUMS,
-                    slice_sizes=(1, 4 * D),
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                ).reshape(hi - lo, k, 4 * D)
+                ci = ci_c[lo:hi]
+                w4 = w4_c[lo:hi]
+                if flat_gather:
+                    starts = jnp.stack(
+                        (ci.reshape(-1) + b * sq,
+                         jnp.full((ci.size,), hh * 4 * D, ci.dtype)), axis=1)
+                    g = jax.lax.gather(
+                        table_flat, starts, _GATHER_DNUMS_2D,
+                        slice_sizes=(1, 4 * D),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                    ).reshape(hi - lo, k, 4 * D)
+                else:
+                    g = jax.lax.gather(
+                        table_bh[b * H + hh], ci.reshape(-1, 1), _GATHER_DNUMS,
+                        slice_sizes=(1, 4 * D),
+                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                    ).reshape(hi - lo, k, 4 * D)
                 if save_rows:
                     rows_saved.append(g)
                 chunks.append(
@@ -319,7 +414,11 @@ def _fold_heads(heads, B, Q, H, D, cd):
     fold = jnp.asarray(fold_np, cd)
     outs = []
     for b in range(B):
-        wide = jnp.concatenate(heads[b * H:(b + 1) * H], axis=1).astype(cd)
+        # cast per-head BEFORE the concat: identical numerics (astype
+        # commutes with concatenate), ~2.5x less concat traffic than
+        # concatenating f32 and casting the [Q, H*4D] result
+        wide = jnp.concatenate(
+            [h_.astype(cd) for h_ in heads[b * H:(b + 1) * H]], axis=1)
         outs.append(jnp.dot(wide, fold, preferred_element_type=cd))
     return jnp.stack(outs).reshape(B, Q, H * D)
 
