@@ -249,3 +249,31 @@ def test_quad_table_build_conv_matches_split():
         got = np.asarray(flat[lv]).reshape(B, qs, H, 4 * D)
         np.testing.assert_array_equal(
             np.moveaxis(got, 2, 1), np.asarray(split[lv]))
+
+
+@pytest.mark.parametrize("save_rows", ["1", "0"])
+def test_bwd_per_chain_coords_exact(save_rows, monkeypatch):
+    """ZGDINO_MSDA_BWD_PER_CHAIN_COORDS produces bit-identical gradients on
+    both residual modes (saved-rows and regather) — it only changes where
+    idx/wts/g4 slices are materialized."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
+
+    rng = np.random.default_rng(21)
+    value, locs, attn = _rand_inputs(rng, B=2, Q=8192, H=4, D=8, P=8,
+                                     shapes=((16, 16), (8, 8)))
+
+    def grads():
+        def loss(v, l, a):
+            out = ms_deform_attn_quad(
+                jnp.asarray(v), ((16, 16), (8, 8)), jnp.asarray(l),
+                jnp.asarray(a))
+            return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
+
+    monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", save_rows)
+    ref = grads()
+    monkeypatch.setenv("ZGDINO_MSDA_BWD_PER_CHAIN_COORDS", "1")
+    got = grads()
+    for name, a, b in zip(("value", "loc", "attn"), ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)

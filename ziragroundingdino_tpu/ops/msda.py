@@ -275,6 +275,19 @@ _GATHER_DNUMS_2D = jax.lax.GatherDimensionNumbers(
 )
 
 
+def _chain_coords(spatial_shapes, loc, attn, b, hh, cd):
+    """Quad coords for one (b, h) chain, computed from the loc/attn slices
+    so idx/wts are born in the chain's consumer layout (no whole-tensor
+    [B,H,Q,K,4] materialization + per-head layout copies). Returns
+    (idx [Q,K] int32, wts [Q,K,4] in ``cd``)."""
+    ci, w4 = _quad_coords(
+        spatial_shapes,
+        loc[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
+        attn[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
+    )
+    return ci[0, 0], w4[0, 0].astype(cd)
+
+
 def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
     """Encoder-scale MSDA at small batch — the b<=2 inference fast path.
 
@@ -356,13 +369,7 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
                 # the chain consumes — the r3 trace showed 48 layout copies
                 # (~1.8 ms/fwd, 9 GB/s effective) feeding the chains from
                 # the whole-tensor [B,H,Q,K,4] coords
-                ci_c, w4_c = _quad_coords(
-                    spatial_shapes,
-                    loc[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
-                    attn[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
-                )
-                ci_c = ci_c[0, 0]
-                w4_c = w4_c[0, 0].astype(cd)
+                ci_c, w4_c = _chain_coords(spatial_shapes, loc, attn, b, hh, cd)
             else:
                 ci_c, w4_c = idx[b, hh], wts[b, hh]
             chunks = []
@@ -763,8 +770,14 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
         quad_table, sq = _quad_table_build(value, spatial_shapes)
     k = L * P
 
-    idx, wts32 = _quad_coords(spatial_shapes, loc, attn)
-    w4_src = wts32.astype(cd)
+    # per-chain coords for the backward (same layout-copy rationale as the
+    # forward's ZGDINO_MSDA_PER_CHAIN_COORDS; independent gate so each
+    # direction can be A/B'd on its own); only on the unrolled paths
+    bwd_per_chain = (os.environ.get("ZGDINO_MSDA_BWD_PER_CHAIN_COORDS", "0")
+                     == "1" and (saved_rows is not None or B * H <= 16))
+    if not bwd_per_chain:
+        idx, wts32 = _quad_coords(spatial_shapes, loc, attn)
+        w4_src = wts32.astype(cd)
 
     # corner-unfold the output cotangent on the MXU (adjoint of the
     # final reshape(B,Q,H,4,D).sum(3)): g4[..., c*D+d] = g[..., d]
@@ -790,9 +803,18 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
     # the [Q, K, 4D] row block (~83 MB at encoder scale).
     table_bh = (None if saved_rows is not None
                 else quad_table.reshape(B * H, sq, 4 * D))
-    idx_bh = jnp.moveaxis(idx, 2, 1).reshape(B * H, Q, k)
-    w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
-    g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
+    if bwd_per_chain:
+        def chain_ops(i):
+            b_, hh_ = divmod(i, H)
+            ci, w4c = _chain_coords(spatial_shapes, loc, attn, b_, hh_, cd)
+            return ci, w4c, g4[b_, :, hh_]
+    else:
+        idx_bh = jnp.moveaxis(idx, 2, 1).reshape(B * H, Q, k)
+        w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
+        g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
+
+        def chain_ops(i):
+            return idx_bh[i], w4_bh[i], g4_bh[i]
 
     # bf16 scatter accumulator (default on under bf16 compute,
     # ZGDINO_MSDA_BF16_SCATTER=0 for f32): halves the accumulator bytes.
@@ -830,17 +852,18 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
         ).reshape(Q, k, 4 * D)
 
     if saved_rows is not None:
-        parts = [per_bh(saved_rows[i], idx_bh[i], w4_bh[i], g4_bh[i])
-                 for i in range(B * H)]
+        parts = [per_bh(saved_rows[i], *chain_ops(i)) for i in range(B * H)]
         d_table = jnp.stack([p[0] for p in parts])
         d_w4 = jnp.stack([p[1] for p in parts])
     elif B * H <= 16:
         # unrolled: the per-(b,h) chains are independent, so the scheduler
         # can overlap gathers/reduces with the (dominant) scatters across
         # chains — measured ~6% off the 6-layer fwd+bwd vs lax.scan
-        parts = [per_bh(regather(table_bh[i], idx_bh[i]),
-                        idx_bh[i], w4_bh[i], g4_bh[i])
-                 for i in range(B * H)]
+        def chain(i):
+            ci, w4c, g4c = chain_ops(i)
+            return per_bh(regather(table_bh[i], ci), ci, w4c, g4c)
+
+        parts = [chain(i) for i in range(B * H)]
         d_table = jnp.stack([p[0] for p in parts])
         d_w4 = jnp.stack([p[1] for p in parts])
     else:
