@@ -277,3 +277,26 @@ def test_bwd_per_chain_coords_exact(save_rows, monkeypatch):
     for name, a, b in zip(("value", "loc", "attn"), ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
+
+
+def test_bwd_per_level_scatter_exact(monkeypatch):
+    """ZGDINO_MSDA_PER_LEVEL_SCATTER splits the backward's d_table scatter
+    into per-level scatters (the K axis is level-major) — identical sums."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
+
+    rng = np.random.default_rng(23)
+    value, locs, attn = _rand_inputs(rng, B=2, Q=32, H=4, D=8, P=4)
+
+    def grads():
+        def loss(v, l, a):
+            out = ms_deform_attn_quad(jnp.asarray(v), SHAPES, jnp.asarray(l),
+                                      jnp.asarray(a))
+            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
+
+    ref = grads()
+    monkeypatch.setenv("ZGDINO_MSDA_PER_LEVEL_SCATTER", "1")
+    got = grads()
+    for name, a, b in zip(("value", "loc", "attn"), ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)

@@ -828,16 +828,40 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
                  os.environ.get("ZGDINO_MSDA_BF16_SCATTER", "1") == "1"
                  else jnp.float32)
 
+    # Per-LEVEL scatter accumulators (env-gated): the K axis is level-major
+    # (k = l*P + p), so slicing K splits the scatter into L independent
+    # scatters into each level's own (smaller) quad table — identical sums,
+    # smaller accumulator footprint per scatter (L0 at encoder scale: 7.9 MB
+    # f32 / 4 MB bf16 vs the 10/5 MB whole table). Pays off only if the v5e
+    # scatter rate keeps improving below the measured 16 MB cliff.
+    per_level_scatter = (os.environ.get("ZGDINO_MSDA_PER_LEVEL_SCATTER", "0")
+                         == "1")
+    qsizes = _quad_sizes(spatial_shapes)
+    level_starts = np.cumsum([0] + list(qsizes))[:-1]
+
     def per_bh(rows, ci, w4c, g4c):
         # rows [Q,K,4D] (saved from forward, or regathered), ci [Q,K],
         # w4c [Q,K,4], g4c [Q,4D]
         g4b = g4c[:, None, :]  # broadcast over K
         d_rows = (g4b * _lane_expand(w4c, D)).astype(acc_dtype)
-        d_tb = jax.lax.scatter_add(
-            jnp.zeros((sq, 4 * D), acc_dtype), ci.reshape(-1, 1),
-            d_rows.reshape(-1, 4 * D), _SCATTER_DNUMS,
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        ).astype(jnp.float32)
+        if per_level_scatter:
+            parts_l = []
+            for lv in range(L):
+                ci_l = ci[:, lv * P:(lv + 1) * P] - int(level_starts[lv])
+                dr_l = d_rows[:, lv * P:(lv + 1) * P]
+                parts_l.append(jax.lax.scatter_add(
+                    jnp.zeros((qsizes[lv], 4 * D), acc_dtype),
+                    ci_l.reshape(-1, 1), dr_l.reshape(-1, 4 * D),
+                    _SCATTER_DNUMS,
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                ))
+            d_tb = jnp.concatenate(parts_l, axis=0).astype(jnp.float32)
+        else:
+            d_tb = jax.lax.scatter_add(
+                jnp.zeros((sq, 4 * D), acc_dtype), ci.reshape(-1, 1),
+                d_rows.reshape(-1, 4 * D), _SCATTER_DNUMS,
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            ).astype(jnp.float32)
         d_w_wide = g4b * rows  # [Q,K,4D]
         d_w4c = jnp.dot(
             d_w_wide.reshape(-1, 4 * D).astype(jnp.float32), foldT,
