@@ -103,15 +103,26 @@ def install_reference_stubs() -> None:
 
     # --- cv2 / matplotlib / pycocotools (visualizer import-time only) ---
     _module("cv2")
-    mpl = _module("matplotlib")
-    mpl.pyplot = _module("matplotlib.pyplot")
-    mpl.transforms = _module("matplotlib.transforms")
-    coll = _module("matplotlib.collections")
-    coll.PatchCollection = object
-    mpl.collections = coll
-    patches = _module("matplotlib.patches")
-    patches.Polygon = object
-    mpl.patches = patches
+    # matplotlib is actually installed in this image: use the REAL package
+    # (stubbing it into sys.modules broke every later-imported test module
+    # that draws — tests/test_visualizer.py — since sys.modules is process
+    # global). Only stub if genuinely absent.
+    try:
+        import matplotlib  # noqa: F401
+        import matplotlib.collections  # noqa: F401
+        import matplotlib.patches  # noqa: F401
+        import matplotlib.pyplot  # noqa: F401
+        import matplotlib.transforms  # noqa: F401
+    except ImportError:  # pragma: no cover - not the shipped image
+        mpl = _module("matplotlib")
+        mpl.pyplot = _module("matplotlib.pyplot")
+        mpl.transforms = _module("matplotlib.transforms")
+        coll = _module("matplotlib.collections")
+        coll.PatchCollection = object
+        mpl.collections = coll
+        patches = _module("matplotlib.patches")
+        patches.Polygon = object
+        mpl.patches = patches
     pct = _module("pycocotools")
     pct_mask = _module("pycocotools.mask")
     pct.mask = pct_mask
