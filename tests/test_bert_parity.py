@@ -13,6 +13,8 @@ from tests.common import TINY_BERT, tiny_text_batch
 from ziragroundingdino_tpu.config import BertConfig
 from ziragroundingdino_tpu.models.bert import BertEncoder
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 
 def hf_config(cfg: BertConfig):
     from transformers import BertConfig as HFBertConfig

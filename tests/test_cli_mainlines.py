@@ -334,6 +334,57 @@ def test_train_odinw13_full_suite(artifacts, tmp_path):
     assert len(st.prompt_memory) >= 6, sorted(st.prompt_memory)
 
 
+def test_train_odinw35_full_suite(artifacts, tmp_path):
+    """The ODinW35 suite shape (VERDICT r3 item 8): all 19 task configs the
+    reference ships (`/root/reference/test_odinw35/for_train/` — 19 of the
+    35 datasets), synthetic data at their real nested paths, chained in one
+    process at fast_dev_run scale with a LARGER vocabulary (12 class words
+    vs the 13-suite's 6) so prompt-pool growth and rep merges are exercised
+    at the bigger-suite scale. Asserts the 19-entry avg-AP report."""
+    from ziragroundingdino_tpu.data.odinw import ODINW35, ODINW_PATHS
+    from ziragroundingdino_tpu.text.tokenizer import (
+        WordPieceTokenizer, make_synthetic_vocab)
+
+    tmp, ckpt, _, cfg_json = artifacts
+    words = ["cat", "dog", "person", "car", "fish", "zebra", "bird", "boat",
+             "truck", "horse", "sheep", "plane"]
+    vocab_d = make_synthetic_vocab(words)
+    inv = sorted(vocab_d.items(), key=lambda kv: kv[1])
+    vocab = tmp_path / "vocab35.txt"
+    vocab.write_text("\n".join(k for k, _ in inv) + "\n")
+    assert max(vocab_d.values()) < 128  # fits TINY bert vocab_size
+
+    droot = tmp_path / "odinw"
+    for ti, tname in enumerate(ODINW35):
+        sub = ODINW_PATHS[tname][0]
+        cls = [words[ti % len(words)], words[(ti + 5) % len(words)]]
+        _write_coco_task(str(droot / sub), cls, n_train=4, n_test=2, seed=ti)
+        if ODINW_PATHS[tname][2] != "test":
+            os.rename(str(droot / sub / "test"),
+                      str(droot / sub / ODINW_PATHS[tname][2]))
+
+    out = tmp_path / "out35"
+    _run([
+        "scripts/train_odinw.py",
+        "--checkpoint", ckpt, "--vocab", str(vocab),
+        "--datasets-root", str(droot),
+        "--suite", "odinw35",
+        "--output-dir", str(out), "--batch-size", "2",
+        "--fast-dev-run", "--config-overrides", cfg_json,
+    ])
+    report = json.loads((out / "result.json").read_text())
+    ap_keys = [k for k in report if k.startswith("AP/")]
+    assert len(ap_keys) == 19, sorted(ap_keys)
+    for t in ODINW35:
+        assert f"AP/{t}" in report and np.isfinite(report[f"AP/{t}"]), t
+    assert "avg_AP" in report
+    # prompt pool spans the larger vocabulary
+    from ziragroundingdino_tpu.train.incremental import load_incremental_state
+
+    st = load_incremental_state(str(out / ODINW35[-1] / "state_final"))
+    assert len(st.prompt_memory) >= 10, sorted(st.prompt_memory)
+
+
 def test_checkpoint_runbook_dryrun(tmp_path):
     """docs/RUNBOOK_checkpoint_parity.md dry run with a RANDOM full-size
     torch checkpoint (VERDICT r2 item 5): the day the real

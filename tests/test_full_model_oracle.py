@@ -45,6 +45,8 @@ from ziragroundingdino_tpu.text.tokenizer import (
 from ziragroundingdino_tpu.train.step import class_logits_from_tokens
 from ziragroundingdino_tpu.utils.torch_convert import convert_state_dict, merge_into
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 
 @pytest.fixture(scope="module")
 def wp():
@@ -496,10 +498,11 @@ def test_fullsize_converter_key_coverage(wp):
     assert n_torch > 500, n_torch
 
 
+@pytest.mark.slow  # VERDICT r3 item 7: in the slow tier (once per round);
+# ZGDINO_FULL_ORACLE=1 still force-runs it in the default tier
 @pytest.mark.skipif(
-    not os.environ.get("ZGDINO_FULL_ORACLE"),
-    reason="full-dimension oracle is slow (set ZGDINO_FULL_ORACLE=1; run "
-           "this test alone in a fresh process)",
+    not os.environ.get("ZGDINO_FULL_ORACLE", "1"),
+    reason="disabled via ZGDINO_FULL_ORACLE=''",
 )
 def test_fullsize_vanilla_oracle(wp):
     """End-to-end parity at FULL model dimensions (Swin-T, 6+6 layers,

@@ -49,6 +49,8 @@ from ziragroundingdino_tpu.train.optim import trainable_mask
 from ziragroundingdino_tpu.train.step import class_logits_from_tokens, compute_losses
 from ziragroundingdino_tpu.utils.torch_convert import convert_state_dict, merge_into
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 
 def _randomize_zira_branches(ref, seed=7, std=0.05):
     """Make every ZiRa branch/freeze/scaling leaf non-degenerate so the

@@ -24,6 +24,8 @@ from ziragroundingdino_tpu.models.transformer import (
     encoder_reference_points,
 )
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 torch.manual_seed(0)
 
 

@@ -34,6 +34,8 @@ from ziragroundingdino_tpu.text.masks import recover_to_cls_logits
 from ziragroundingdino_tpu.text.tokenizer import tokenize_captions
 from ziragroundingdino_tpu.train.step import TrainState, make_train_step
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 H, W = 64, 96
 
 
@@ -113,9 +115,10 @@ def ap_from_outputs(out, batch, gts):
     return ev.summarize()["AP"]
 
 
-def _setup(mode):
-    cfg = tiny_config() if mode == "finetune" else tiny_config(
-        modelname="dualzerorepbranchgroundingdino", cet_middle_dim=16)
+def _setup(mode, **cfg_overrides):
+    cfg = tiny_config(**cfg_overrides) if mode == "finetune" else tiny_config(
+        modelname="dualzerorepbranchgroundingdino", cet_middle_dim=16,
+        **cfg_overrides)
     model = GroundingDINO(cfg=cfg)
     tok = tiny_tokenizer()
     tb = tokenize_captions(tok, ["cat.dog."], max_text_len=32,
@@ -165,6 +168,7 @@ def test_zira_learns_and_merge_preserves():
     from ziragroundingdino_tpu.train.optim import trainable_mask
 
     model, batch, gts, params = _setup("zira")
+    ap_init = eval_ap(model, params, batch, gts)
     tmask = trainable_mask(params["params"], ("adapter",), freeze_all=True)
     state, losses = _train(model, params, batch, steps=150, lr=3e-3,
                            trainable=tmask)
@@ -207,3 +211,23 @@ def test_zira_learns_and_merge_preserves():
     # that survives the merge
     ap_eval_post = eval_ap(model, merged, batch, gts)
     assert ap_eval_post == ap_merged
+    # ...and improved over the random-init eval branch by a real margin
+    # (VERDICT r3 item 6: the docstring's "AP improves" claim, asserted)
+    assert ap_merged >= ap_init + 5.0, (
+        f"merged eval AP {ap_merged:.1f} vs init {ap_init:.1f}")
+
+
+def test_bf16_training_converges():
+    """Training under compute_dtype=bfloat16 (the actual TPU configuration,
+    with the default-on bf16 MSDA scatter accumulator) still converges:
+    loss >=4x down and AP >=40 in 150 steps (VERDICT r3 item 5; the
+    reference trains fp16-AMP, `train_net.py:75-131`). Params/optimizer
+    stay f32; only activations and the MSDA VJP accumulator are bf16."""
+    model, batch, gts, params = _setup("finetune", compute_dtype="bfloat16")
+    ap0 = eval_ap(model, params, batch, gts)
+    state, losses = _train(model, params, batch, steps=150, lr=1e-3)
+    first, last = np.mean(losses[:5]), np.mean(losses[-5:])
+    assert np.isfinite(losses).all(), "bf16 training produced non-finite loss"
+    assert first / last >= 4.0, f"bf16 loss only dropped {first:.2f}->{last:.2f}"
+    ap1 = eval_ap(model, state.params, batch, gts)
+    assert ap1 >= 40.0, f"bf16 AP after training {ap1} (init {ap0})"

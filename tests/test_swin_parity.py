@@ -12,6 +12,8 @@ import jax.numpy as jnp
 
 from ziragroundingdino_tpu.models.swin import SwinBlock, _relative_position_index
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 
 class TorchWindowAttention(nn.Module):
     def __init__(self, dim, window, heads):

@@ -17,6 +17,8 @@ from tests.common import tiny_config, tiny_image_batch, tiny_text_batch
 from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
 from ziragroundingdino_tpu.utils import torch_convert as tc
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 
 def flatten(tree, prefix=""):
     out = {}

@@ -31,6 +31,8 @@ from ziragroundingdino_tpu.train.optim import (
 )
 from ziragroundingdino_tpu.train.step import compute_losses
 
+pytestmark = pytest.mark.oracle  # heavy torch-parity/convergence tier
+
 
 @pytest.fixture(scope="module")
 def setup():
