@@ -102,8 +102,11 @@ def main():
         f"{rows/tp/1e6:6.0f} rows/us-ish (bracket {tp2*1e3:.2f})")
     log(f"lane-offset gather ({R}x{H*W}): {tl*1e3:7.2f} ms  "
         f"{rows/tl/1e6:6.0f} rows/us-ish")
-    print({"plain_ms": tp * 1e3, "lane_ms": tl * 1e3,
-           "bracket_ms": tp2 * 1e3})
+    import json
+
+    print(json.dumps({"plain_ms": round(tp * 1e3, 2),
+                      "lane_ms": round(tl * 1e3, 2),
+                      "bracket_ms": round(tp2 * 1e3, 2)}))
 
 
 if __name__ == "__main__":
