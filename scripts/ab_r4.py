@@ -69,6 +69,9 @@ PHASES = {
         ("b8_conv", ..., {"ZGDINO_MSDA_CONV_TABLE": "1"}),
         ("b8_hg1", ..., {"ZGDINO_MSDA_IMG_HEAD_GROUP": "1"}),
         ("b8_hg2", ..., {"ZGDINO_MSDA_IMG_HEAD_GROUP": "2"}),
+        ("b8_unroll", ..., {"ZGDINO_MSDA_IMG_UNROLL": "1"}),
+        ("b8_unroll_hg2", ..., {"ZGDINO_MSDA_IMG_UNROLL": "1",
+                                "ZGDINO_MSDA_IMG_HEAD_GROUP": "2"}),
         ("b4_ref", ["scripts/bench_infer.py", "--batch", "4", "--iters", "6"], {}),
         ("b2_ref", ["scripts/bench_infer.py", "--batch", "2", "--iters", "8"], {}),
     ],

@@ -347,3 +347,18 @@ def test_bf16_vjp_drift_bounded(monkeypatch):
     assert rel(gbf[1], g32[1]) < 0.5, rel(gbf[1], g32[1])
     # the bf16 ACCUMULATOR's own contribution, isolated from input rounding
     assert rel(gbf[0], gbf_f32acc[0]) < 2e-2, rel(gbf[0], gbf_f32acc[0])
+
+
+def test_img_unroll_exact(monkeypatch):
+    """ZGDINO_MSDA_IMG_UNROLL python-unrolls the B>2 per-image loop (scan
+    bodies don't pipeline on v5e) — same math as the lax.scan (only
+    fusion-order f32 noise, observed 6e-8)."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_xla_quad
+
+    rng = np.random.default_rng(41)
+    value, locs, attn = _rand_inputs(rng, B=4, Q=32, H=4, D=8, P=4)
+    args = (jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn))
+    ref = np.asarray(ms_deform_attn_xla_quad(*args))
+    monkeypatch.setenv("ZGDINO_MSDA_IMG_UNROLL", "1")
+    got = np.asarray(ms_deform_attn_xla_quad(*args))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

@@ -571,7 +571,18 @@ def ms_deform_attn_xla_quad(
             _, o = jax.lax.scan(chunk2, None, (ci, cw))  # [n_c2, qc2, H, 4D]
             return None, o.reshape(n_c2 * qc2, H, 4 * D)
 
-        _, out = jax.lax.scan(per_img, None, (table_b, idx_bc, wts_bc))
+        if os.environ.get("ZGDINO_MSDA_IMG_UNROLL", "0") == "1":
+            # python-unrolled per-image loop: scan bodies don't pipeline
+            # across iterations on v5e (BASELINE.md), so unrolling lets XLA
+            # overlap image i's weighted reduce with image i+1's gather —
+            # the same effect measured ~6% on the unrolled backward chains.
+            # B iterations only (<=8), so compile-time cost is mild.
+            out = jnp.stack([
+                per_img(None, (table_b[b_], idx_bc[b_], wts_bc[b_]))[1]
+                for b_ in range(B)
+            ])
+        else:
+            _, out = jax.lax.scan(per_img, None, (table_b, idx_bc, wts_bc))
         if q_pad2:
             out = out[:, :Q]
     else:
