@@ -175,6 +175,7 @@ def test_evaluator_with_oracle_detector(coco_dir):
     assert res["AP"] == pytest.approx(100.0, abs=1e-4)
 
 
+@pytest.mark.oracle  # compile-heavy (VERDICT r3 item 9)
 def test_uint8_device_normalize_matches_host(coco_dir):
     """uint8 transfer + on-device normalize == host-normalized fp32 path."""
     import jax

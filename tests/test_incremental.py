@@ -11,6 +11,8 @@ from tests.test_train_step import make_batch
 from ziragroundingdino_tpu.config import OptimizerConfig, ScheduleConfig, TrainConfig
 from ziragroundingdino_tpu.models.groundingdino import GroundingDINO, TextEncoderOnly
 from ziragroundingdino_tpu.models.zira import rep_merge
+
+pytestmark = pytest.mark.oracle  # compile-heavy tier (VERDICT r3 item 9)
 from ziragroundingdino_tpu.train.incremental import (
     IncrementalState,
     TaskSpec,

@@ -11,6 +11,8 @@ import jax
 from tests.common import TINY_BERT, TINY_SWIN, tiny_tokenizer
 from ziragroundingdino_tpu.utils.inference import load_model, predict, predict_classes
 
+pytestmark = pytest.mark.oracle  # compile-heavy tier (VERDICT r3 item 9)
+
 
 @pytest.fixture(scope="module")
 def artifacts(tmp_path_factory):

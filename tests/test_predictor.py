@@ -11,6 +11,7 @@ from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
 from ziragroundingdino_tpu.utils.predictor import Predictor
 
 
+@pytest.mark.oracle  # compile-heavy (VERDICT r3 item 9)
 def test_predictor_buckets_and_results():
     import jax.numpy as jnp
     from ziragroundingdino_tpu.text.tokenizer import tokenize_captions

@@ -24,6 +24,8 @@ from ziragroundingdino_tpu.train.optim import (
 )
 from ziragroundingdino_tpu.train.step import TrainState, compute_losses, make_train_step
 
+pytestmark = pytest.mark.oracle  # compile-heavy tier (VERDICT r3 item 9)
+
 
 def make_batch(b=2):
     pixels, mask = tiny_image_batch(b=b)

@@ -206,6 +206,7 @@ def test_pet_preset_forward_smoke(preset):
         assert cfg.use_cls_linear
 
 
+@pytest.mark.oracle  # compile-heavy (VERDICT r3 item 9)
 def test_moe_multi_expert_forward_and_grads():
     """The multi-expert MoE path (VERDICT r2 item 7): the dense-dispatch
     redesign of `moe.py:18-117` with num_experts=4, topk=2 under noisy
@@ -245,6 +246,7 @@ def test_moe_multi_expert_forward_and_grads():
         assert float(jnp.sum(g[name] ** 2)) > 0, name
 
 
+@pytest.mark.oracle  # compile-heavy (VERDICT r3 item 9)
 def test_cat_preset_multi_expert_prompt():
     """CAT preset with cfg.num_experts=4/topk=2 plumbed through the prompt
     MoeAdapter (`groundingdino_dt.py:1095` wires args.num_experts; ours now
