@@ -46,6 +46,7 @@ PHASES = {
         ("ref_d", ..., {}),
         ("flat_gather", ..., {"ZGDINO_MSDA_FLAT_GATHER": "1",
                               "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"}),
+        ("swin_bf16_sm", ..., {"ZGDINO_SWIN_BF16_SOFTMAX": "1"}),
         ("ref_e", ..., {}),
     ],
     "lane": [
