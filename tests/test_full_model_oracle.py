@@ -551,12 +551,26 @@ def test_fullsize_vanilla_oracle(wp):
     # this). The parity claim is therefore ORDER-INVARIANT: almost every
     # predicted box must have an exact counterpart, with matching token
     # logits at the matched slots.
+    # Box matching alone is NON-INJECTIVE at random init: many anchors
+    # produce near-coincident boxes, so nearest-box can pair a jax slot
+    # with the wrong (equal-box, different-logits) torch slot. The order-
+    # invariant claim is therefore: every jax (box, logits) pair must have
+    # SOME torch slot matching in both box AND logits.
     from scipy.spatial import cKDTree
 
-    dist, idx = cKDTree(tbx).query(jb)
-    frac_exact = float((dist < 1e-3).mean())
-    assert frac_exact >= 0.97, f"only {frac_exact:.3f} of slots have an exact counterpart"
+    # A handful of slots (~0.7% measured) are SELECTION-divergent — their
+    # proposal was a near-tie that torch and XLA ranked differently, so no
+    # torch slot carries their logits even when a random box coincides.
+    # The claim is coverage: >=97% of slots must have a torch counterpart
+    # matching in box AND logits (measured 99.3%, median logit gap 2.6e-3).
     valid = np.asarray(tb.text_token_mask)[0]
-    matched = dist < 1e-3
-    ml = np.abs(jl[matched][:, valid] - tl[idx[matched]][:, valid]).max()
-    assert ml < 5e-3, f"matched-slot logits diverge: {ml}"
+    cand = cKDTree(tbx).query_ball_point(jb, r=1e-3)
+    n_full = sum(
+        1 for i, cs in enumerate(cand)
+        if cs and min(
+            float(np.abs(jl[i][valid] - tl[c][valid]).max()) for c in cs
+        ) < 5e-3
+    )
+    frac_exact = n_full / len(jb)
+    assert frac_exact >= 0.97, (
+        f"only {frac_exact:.3f} of slots have a box+logit counterpart")
