@@ -212,6 +212,7 @@ def test_custom_vjp_saved_rows_matches_autodiff():
     {"ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
     {"ZGDINO_MSDA_FLAT_GATHER": "1"},
     {"ZGDINO_MSDA_FLAT_GATHER": "1", "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
+    {"ZGDINO_MSDA_CONV_TABLE": "1", "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
 ])
 def test_small_batch_experimental_paths_exact(env, monkeypatch):
     """The env-gated r3 perf experiments (conv-built quad table, per-chain
@@ -347,6 +348,55 @@ def test_bf16_vjp_drift_bounded(monkeypatch):
     assert rel(gbf[1], g32[1]) < 0.5, rel(gbf[1], g32[1])
     # the bf16 ACCUMULATOR's own contribution, isolated from input rounding
     assert rel(gbf[0], gbf_f32acc[0]) < 2e-2, rel(gbf[0], gbf_f32acc[0])
+
+
+@pytest.mark.parametrize("hg,unroll", [(1, "0"), (2, "0"), (2, "1")])
+def test_img_head_group_exact(hg, unroll, monkeypatch):
+    """ZGDINO_MSDA_IMG_HEAD_GROUP splits each per-image gather table into
+    H/hg head-group tables (smaller tables ride the gather-rate cliff);
+    the group-wise f32 reduce then concat is the same math as the whole-
+    image weighted gather. Also exercised combined with IMG_UNROLL — the
+    b8_unroll_hg2 A/B leg's exact configuration."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_xla_quad
+
+    rng = np.random.default_rng(43)
+    value, locs, attn = _rand_inputs(rng, B=4, Q=64, H=4, D=8, P=4)
+    args = (jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn))
+    ref = np.asarray(ms_deform_attn_xla_quad(*args))
+    monkeypatch.setenv("ZGDINO_MSDA_IMG_HEAD_GROUP", str(hg))
+    monkeypatch.setenv("ZGDINO_MSDA_IMG_UNROLL", unroll)
+    got = np.asarray(ms_deform_attn_xla_quad(*args))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
+
+
+def test_allfwd_combo_grads_exact(monkeypatch):
+    """The combined winner-candidate configuration from the round-4 A/B
+    queue (`t_allfwd`: CONV_TABLE + PER_CHAIN_COORDS forward with
+    BWD_PER_CHAIN_COORDS backward) yields gradients identical to the
+    all-default custom VJP — each gate is individually bit-exact and they
+    compose without interaction."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
+
+    rng = np.random.default_rng(47)
+    value, locs, attn = _rand_inputs(rng, B=2, Q=8192, H=4, D=8, P=8,
+                                     shapes=((16, 16), (8, 8)))
+
+    def grads():
+        def loss(v, l, a):
+            out = ms_deform_attn_quad(
+                jnp.asarray(v), ((16, 16), (8, 8)), jnp.asarray(l),
+                jnp.asarray(a))
+            return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
+
+    ref = grads()
+    monkeypatch.setenv("ZGDINO_MSDA_CONV_TABLE", "1")
+    monkeypatch.setenv("ZGDINO_MSDA_PER_CHAIN_COORDS", "1")
+    monkeypatch.setenv("ZGDINO_MSDA_BWD_PER_CHAIN_COORDS", "1")
+    got = grads()
+    for name, a, b in zip(("value", "loc", "attn"), ref, got):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6, err_msg=name)
 
 
 def test_img_unroll_exact(monkeypatch):
