@@ -48,6 +48,11 @@ PHASES = {
                               "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"}),
         ("swin_bf16_sm", ..., {"ZGDINO_SWIN_BF16_SOFTMAX": "1"}),
         ("ref_e", ..., {}),
+        # decoder MSDA (115k rows < the 1<<20 small-path threshold) runs as
+        # one whole-table gather at ~108 rows/us in the r3 trace; route it
+        # through the per-(b,h) chains instead
+        ("dec_small", ..., {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
+        ("ref_f", ..., {}),
     ],
     "lane": [
         ("lane_gather", ["scripts/bench_gather_lane.py"], {}),

@@ -399,6 +399,39 @@ def test_allfwd_combo_grads_exact(monkeypatch):
                                    rtol=1e-6, atol=1e-6, err_msg=name)
 
 
+def test_small_min_decoder_routing_exact(monkeypatch):
+    """ZGDINO_MSDA_SMALL_MIN lowers the per-(b,h)-chain threshold so
+    decoder-scale calls (B*Q*H*K below 1<<20) take the unrolled chain path
+    instead of one whole-table gather — same math, and the custom VJP's
+    saved-rows residual engages on the rerouted call too."""
+    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
+
+    rng = np.random.default_rng(53)
+    # decoder-like: small Q over a multi-level map, B*Q*H*K = 2*64*4*8=4096
+    value, locs, attn = _rand_inputs(rng, B=2, Q=64, H=4, D=8, P=4)
+
+    def fwd_and_grads():
+        args = (jnp.asarray(value), SHAPES, jnp.asarray(locs),
+                jnp.asarray(attn))
+        out = np.asarray(ms_deform_attn_quad(*args))
+
+        def loss(v, l, a):
+            o = ms_deform_attn_quad(jnp.asarray(v), SHAPES, jnp.asarray(l),
+                                    jnp.asarray(a))
+            return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
+
+        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
+        return out, g
+
+    ref_out, ref_g = fwd_and_grads()
+    monkeypatch.setenv("ZGDINO_MSDA_SMALL_MIN", "1024")
+    got_out, got_g = fwd_and_grads()
+    np.testing.assert_allclose(got_out, ref_out, rtol=1e-6, atol=1e-6)
+    for name, a, b in zip(("value", "loc", "attn"), ref_g, got_g):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
 def test_img_unroll_exact(monkeypatch):
     """ZGDINO_MSDA_IMG_UNROLL python-unrolls the B>2 per-image loop (scan
     bodies don't pipeline on v5e) — same math as the lax.scan (only

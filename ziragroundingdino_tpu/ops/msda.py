@@ -288,6 +288,17 @@ def _chain_coords(spatial_shapes, loc, attn, b, hh, cd):
     return ci[0, 0], w4[0, 0].astype(cd)
 
 
+def _small_min() -> int:
+    """Row-count threshold (B*Q*H*K) above which MSDA takes the unrolled
+    per-(b,h) chain path. The default keeps the encoder (323k rows/chain at
+    800x1216) on chains and the decoder (Q=900 -> 115k rows total) on one
+    whole-table gather; the r3 trace shows that decoder gather running at
+    ~108 rows/us vs the chains' ~613 (1.07 ms x6 layers), so
+    ZGDINO_MSDA_SMALL_MIN=65536 routes the decoder through chains too —
+    an A/B candidate (scripts/ab_r4.py `dec_small`)."""
+    return int(os.environ.get("ZGDINO_MSDA_SMALL_MIN", str(1 << 20)))
+
+
 def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
     """Encoder-scale MSDA at small batch — the b<=2 inference fast path.
 
@@ -465,7 +476,7 @@ def ms_deform_attn_xla_quad(
     # strategy knob for batch>2 experiments: raise to use the per-(b,h)
     # path at larger batches instead of per-image tables
     bh_max_b = int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2"))
-    if (not (q_chunk and q_chunk < Q)) and B * Q * H * k >= 1 << 20 and B <= bh_max_b:
+    if (not (q_chunk and q_chunk < Q)) and B * Q * H * k >= _small_min() and B <= bh_max_b:
         return _quad_small_batch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
@@ -737,7 +748,7 @@ def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_ch
     rows_mb = (B * H * Q * L * P * 4 * D * value.dtype.itemsize) >> 20
     if (os.environ.get("ZGDINO_MSDA_SAVE_ROWS", "1") == "1"
             and not (q_chunk and q_chunk < Q) and B * H <= 16
-            and B * Q * H * L * P >= 1 << 20
+            and B * Q * H * L * P >= _small_min()
             # per-call residual byte cap: at 800x1216 b=1 the six encoder
             # layers hold 6 x 662 MB which fits 16 GB HBM next to params
             # and activations; b=2 would double it and OOM (the relay
