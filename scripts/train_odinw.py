@@ -55,9 +55,10 @@ def main():
                     help="resume into an output dir stamped with different "
                          "run args (default: abort)")
     ap.add_argument("--mesh", default=None,
-                    help="'data[,model]' axis sizes for multi-chip runs, e.g. "
-                         "'8' (DP over 8 chips) or '4,2' (DP x TP); default: "
-                         "single device")
+                    help="'data[,model[,seq]]' axis sizes for multi-chip runs, "
+                         "e.g. '8' (DP over 8 chips), '4,2' (DP x TP), or "
+                         "'2,2,2' (DP x TP x sequence parallel, parallel/"
+                         "sp.py); default: single device")
     ap.add_argument("--tasks", default=None,
                     help="comma-separated subset of suite task names (the "
                          "reference's per-task for_train/*.py glob can be "
@@ -137,8 +138,19 @@ def main():
         )
 
         sizes = [int(x) for x in args.mesh.split(",")]
-        mesh = make_mesh(data=sizes[0], model=sizes[1] if len(sizes) > 1 else 1)
+        mesh = make_mesh(data=sizes[0], model=sizes[1] if len(sizes) > 1 else 1,
+                         seq=sizes[2] if len(sizes) > 2 else 1)
         logging.info("mesh: %s over %d devices", dict(mesh.shape), mesh.size)
+        if mesh.shape["seq"] > 1:
+            import contextlib
+
+            from ziragroundingdino_tpu.parallel import sp
+
+            ctx = contextlib.ExitStack()
+            ctx.enter_context(sp.sequence_parallel(mesh))
+            import atexit
+
+            atexit.register(ctx.close)
         assert args.batch_size % mesh.shape["data"] == 0, (
             f"--batch-size {args.batch_size} must be divisible by the data "
             f"axis {mesh.shape['data']}")

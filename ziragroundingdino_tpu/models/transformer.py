@@ -45,7 +45,7 @@ from ziragroundingdino_tpu.models.layers import (
     inverse_sigmoid,
 )
 from ziragroundingdino_tpu.models.fusion import BiAttentionBlock
-from ziragroundingdino_tpu.ops.msda import multi_scale_deformable_attention
+from ziragroundingdino_tpu.parallel import sp
 
 SpatialShapes = Tuple[Tuple[int, int], ...]
 
@@ -121,7 +121,9 @@ class MSDeformAttn(nn.Module):
                 + offsets / p * reference_points[:, :, None, :, None, 2:] * 0.5
             )
 
-        out = multi_scale_deformable_attention(
+        # query-sharded under an active sequence_parallel context (the value
+        # table is all-gathered per layer); identical to the plain op when off
+        out = sp.msda_query_sharded(
             value, spatial_shapes, loc, weights, impl=self.impl
         )
         return Dense(e, dtype=cd, kernel_init=nn.initializers.xavier_uniform(),
@@ -310,6 +312,9 @@ class FeatureEnhancer(nn.Module):
             fusion_cls = nn.remat(BiAttentionBlock, static_argnums=(5,))
 
         for i in range(cfg.enc_layers):
+            # under sequence_parallel: pin the ~20k-token activation to the
+            # seq axis so LN/FFN/projections stay token-sharded (no-op when off)
+            src = sp.constrain_tokens(src)
             if cfg.use_fusion_layer:
                 src, text = fusion_cls(
                     v_dim=cfg.hidden_dim, l_dim=cfg.hidden_dim,

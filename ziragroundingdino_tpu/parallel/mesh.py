@@ -24,23 +24,26 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, devices: Optional[Sequence] = None
+    data: int = -1, model: int = 1, seq: int = 1,
+    devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model != n:
+        if n % (model * seq):
+            raise ValueError(f"{n} devices not divisible by model*seq={model * seq}")
+        data = n // (model * seq)
+    if data * seq * model != n:
         raise ValueError(
-            f"mesh {data}x{model} needs {data * model} devices but only {n} "
-            f"are visible ({[d.platform for d in devices[:4]]}...); for CPU "
-            "simulation set XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            f"mesh {data}x{seq}x{model} needs {data * seq * model} devices but "
+            f"only {n} are visible ({[d.platform for d in devices[:4]]}...); for "
+            "CPU simulation set XLA_FLAGS=--xla_force_host_platform_device_count=N "
             "before jax initializes"
         )
-    arr = np.asarray(devices).reshape(data, model)
-    return Mesh(arr, ("data", "model"))
+    # seq innermost after model so seq-axis collectives (the per-layer value
+    # all-gather, parallel/sp.py) ride the fastest ICI neighbours
+    arr = np.asarray(devices).reshape(data, seq, model)
+    return Mesh(arr, ("data", "seq", "model"))
 
 
 # param-path regexes -> PartitionSpec for the tensor-parallel axis.
