@@ -45,7 +45,7 @@ from ziragroundingdino_tpu.models.layers import (
     inverse_sigmoid,
 )
 from ziragroundingdino_tpu.models.fusion import BiAttentionBlock
-from ziragroundingdino_tpu.parallel import sp
+from ziragroundingdino_tpu.parallel import pp, sp
 
 SpatialShapes = Tuple[Tuple[int, int], ...]
 
@@ -302,6 +302,16 @@ class FeatureEnhancer(nn.Module):
                 position_ids[..., None].astype(jnp.float32),
                 num_pos_feats=cfg.hidden_dim, exchange_xy=False,
             ).astype(src.dtype)
+
+        # under pipeline_parallel (parallel/pp.py): GPipe the layer stack
+        # over the `pipe` mesh axis instead of the sequential loop. Params
+        # must already exist, so init still takes the loop below.
+        if pp.active() is not None and not self.is_initializing():
+            return pp.pipelined_enhancer(
+                self, src, pos, reference_points, spatial_shapes,
+                key_padding_mask, text, text_token_mask,
+                text_self_attention_masks, pos_text, deterministic,
+            )
 
         adapter_loss = jnp.zeros((), jnp.float32)
         layer_cls = DeformableEncoderLayer

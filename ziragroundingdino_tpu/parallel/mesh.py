@@ -24,26 +24,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(
-    data: int = -1, model: int = 1, seq: int = 1,
+    data: int = -1, model: int = 1, seq: int = 1, pipe: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    fixed = model * seq * pipe
     if data == -1:
-        if n % (model * seq):
-            raise ValueError(f"{n} devices not divisible by model*seq={model * seq}")
-        data = n // (model * seq)
-    if data * seq * model != n:
+        if n % fixed:
+            raise ValueError(
+                f"{n} devices not divisible by model*seq*pipe={fixed}")
+        data = n // fixed
+    if data * fixed != n:
         raise ValueError(
-            f"mesh {data}x{seq}x{model} needs {data * seq * model} devices but "
+            f"mesh {data}x{pipe}x{seq}x{model} needs {data * fixed} devices but "
             f"only {n} are visible ({[d.platform for d in devices[:4]]}...); for "
             "CPU simulation set XLA_FLAGS=--xla_force_host_platform_device_count=N "
             "before jax initializes"
         )
     # seq innermost after model so seq-axis collectives (the per-layer value
-    # all-gather, parallel/sp.py) ride the fastest ICI neighbours
-    arr = np.asarray(devices).reshape(data, seq, model)
-    return Mesh(arr, ("data", "seq", "model"))
+    # all-gather, parallel/sp.py) ride the fastest ICI neighbours; pipe next
+    # to data — its only traffic is the nearest-neighbour GPipe shift
+    # (parallel/pp.py), which any contiguous placement serves
+    arr = np.asarray(devices).reshape(data, pipe, seq, model)
+    return Mesh(arr, ("data", "pipe", "seq", "model"))
 
 
 # param-path regexes -> PartitionSpec for the tensor-parallel axis.
