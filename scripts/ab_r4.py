@@ -89,6 +89,38 @@ PHASES = {
     ],
 }
 
+# Wall-clock-trimmed queue for a cold compile cache (~60-370 s per fresh
+# HLO): lead with the COMBINED candidate (if it wins, all three gates flip
+# together and per-gate attribution is secondary), then the two independent
+# single-gate candidates with the largest trace-mined upside, then batch
+# monotonicity data. Leg names match PHASES so a partial full-queue log
+# resumes into this one.
+PHASES["quick"] = [
+    ("ref_a", ["scripts/bench_infer.py", "--batch", "1", "--iters", "10"], {}),
+    ("conv+chain+ln", ..., {"ZGDINO_MSDA_CONV_TABLE": "1",
+                            "ZGDINO_MSDA_PER_CHAIN_COORDS": "1",
+                            "ZGDINO_LN_FAST": "1"}),
+    ("dec_small", ..., {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
+    ("ref_b", ..., {}),
+    ("swin_bf16_sm", ..., {"ZGDINO_SWIN_BF16_SOFTMAX": "1"}),
+    ("conv_table", ..., {"ZGDINO_MSDA_CONV_TABLE": "1"}),
+    ("ref_c", ..., {}),
+]
+PHASES["quickbatch"] = [
+    ("b8_ref", ["scripts/bench_infer.py", "--batch", "8", "--iters", "6"], {}),
+    ("b8_conv", ..., {"ZGDINO_MSDA_CONV_TABLE": "1"}),
+    ("b4_ref", ["scripts/bench_infer.py", "--batch", "4", "--iters", "6"], {}),
+    ("b2_ref", ["scripts/bench_infer.py", "--batch", "2", "--iters", "8"], {}),
+]
+PHASES["quicktrain"] = [
+    ("t_ref_a", ["scripts/bench_train.py", "--batch", "1", "--no-remat",
+                 "--iters", "5"], {}),
+    ("t_allfwd", ..., {"ZGDINO_MSDA_CONV_TABLE": "1",
+                       "ZGDINO_MSDA_PER_CHAIN_COORDS": "1",
+                       "ZGDINO_MSDA_BWD_PER_CHAIN_COORDS": "1",
+                       "ZGDINO_LN_FAST": "1"}),
+]
+
 
 def _fill(legs):
     """'...' argv means: inherit the most recent explicit argv above."""

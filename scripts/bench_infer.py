@@ -72,14 +72,23 @@ def main():
     t0 = time.time()
     float(fwd(params, pixels, mask, text, jnp.float32(0.5)))
     log(f"warm single-call {time.time()-t0:.3f}s")
-    t0 = time.time()
-    acc = []
+    # Per-call value-fetch timing, min over iters: the r4 relay PENALIZES
+    # pipelined dispatch (async 8-deep measured 166 ms/call vs 97-107 ms
+    # fully synced on identical code), so an async loop underreads
+    # throughput; min-of-n synced calls is robust to relay RTT jitter and
+    # still charges every call the full host->device->host round trip.
+    times = []
+    check = 0.0
     for i in range(args.iters):
-        acc.append(fwd(params, pixels, mask, text, jnp.float32(1 + i)))
-    total = float(jnp.stack(acc).sum())
-    dt = (time.time() - t0) / args.iters
-    log(f"b={b}: {dt*1e3:.1f} ms/batch -> {b/dt:.2f} img/s (check={total:.3e})")
-    print(f'{{"ms_per_batch": {dt*1e3:.1f}, "img_per_sec": {b/dt:.3f}, "batch": {b}}}')
+        t0 = time.time()
+        check += float(fwd(params, pixels, mask, text, jnp.float32(1 + i)))
+        times.append(time.time() - t0)
+    dt = min(times)
+    med = sorted(times)[len(times) // 2]
+    log(f"b={b}: min {dt*1e3:.1f} / med {med*1e3:.1f} ms/batch -> "
+        f"{b/dt:.2f} img/s (check={check:.3e})")
+    print(f'{{"ms_per_batch": {dt*1e3:.1f}, "ms_per_batch_med": {med*1e3:.1f}, '
+          f'"img_per_sec": {b/dt:.3f}, "batch": {b}}}')
 
     if args.profile:
         with jax.profiler.trace(args.profile):
