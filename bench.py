@@ -157,6 +157,24 @@ def main():
         # forces the full computation
         return jnp.sum(out["pred_boxes"]) + jnp.sum(out["pred_logits"][..., :4])
 
+    SCAN_K = int(os.environ.get("ZGDINO_BENCH_SCAN_K", "4"))
+
+    @jax.jit
+    def fwd_k(params, pixels, mask, text, jitter0):
+        # K back-to-back forwards in ONE executable (scan body compiles
+        # once, so compile cost ~= a single fwd). Amortizes the axon-relay
+        # dispatch round trip (~25-30 ms/call, BASELINE.md round-4 log)
+        # over K calls — on local TPU hardware there is no tunnel and the
+        # per-call number IS the device time, which this approximates.
+        # Each iteration gets a distinct jitter so no caching/CSE collapse.
+        def body(acc, i):
+            out = model.apply(params, pixels + (jitter0 + i) * 1e-6, mask, text)
+            return acc + jnp.sum(out["pred_boxes"]) + jnp.sum(
+                out["pred_logits"][..., :4]), None
+        acc, _ = jax.lax.scan(
+            body, jnp.float32(0), jnp.arange(SCAN_K, dtype=jnp.float32))
+        return acc
+
     best = None
     per_batch = {}
     for b in (8, 4, 2, 1):
@@ -186,6 +204,26 @@ def main():
             ips = b / dt
             log(f"b={b}: {dt*1000:.1f} ms/batch -> {ips:.2f} img/s (check={check:.3e})")
             per_batch[f"img_per_sec_b{b}"] = round(ips, 3)
+            # RTT-amortized throughput: scan-of-K forwards, one dispatch.
+            # b=1 only by default — the scan holds one batch's activations
+            # (same live set as a single fwd), but keep the relay-crash
+            # blast radius minimal at larger batches.
+            if b == 1 or os.environ.get("ZGDINO_BENCH_SCAN_ALL", "0") == "1":
+                t0 = time.time()
+                float(fwd_k(params, pixels, mask, text, jnp.float32(1000)))
+                log(f"b={b}: scan{SCAN_K} compile+first {time.time()-t0:.1f}s")
+                ktimes = []
+                for i in range(4):
+                    t0 = time.time()
+                    float(fwd_k(params, pixels, mask, text,
+                                jnp.float32(2000 + i * SCAN_K)))
+                    ktimes.append(time.time() - t0)
+                kdt = min(ktimes) / SCAN_K
+                kips = b / kdt
+                log(f"b={b}: scan{SCAN_K} {kdt*1000:.1f} ms/call -> {kips:.2f} img/s")
+                per_batch[f"img_per_sec_b{b}_scan{SCAN_K}"] = round(kips, 3)
+                if best is None or kips > best[1]:
+                    best = (b, kips)
             if best is None or ips > best[1]:
                 best = (b, ips)
         except Exception as e:  # OOM at large batch: fall through

@@ -106,6 +106,15 @@ PHASES["quick"] = [
     ("conv_table", ..., {"ZGDINO_MSDA_CONV_TABLE": "1"}),
     ("ref_c", ..., {}),
 ]
+# Single-gate attribution after the combined leg lost (+17.5% vs ref_a):
+# the three gates target disjoint trace families, so one may still win
+# while another masks it.
+PHASES["quick2"] = [
+    ("per_chain", ["scripts/bench_infer.py", "--batch", "1", "--iters", "10"],
+     {"ZGDINO_MSDA_PER_CHAIN_COORDS": "1"}),
+    ("ln_fast", ..., {"ZGDINO_LN_FAST": "1"}),
+    ("ref_g", ..., {}),
+]
 PHASES["quickbatch"] = [
     ("b8_ref", ["scripts/bench_infer.py", "--batch", "8", "--iters", "6"], {}),
     ("b8_conv", ..., {"ZGDINO_MSDA_CONV_TABLE": "1"}),
