@@ -175,7 +175,7 @@ def main():
             body, jnp.float32(0), jnp.arange(SCAN_K, dtype=jnp.float32))
         return acc
 
-    best = None
+    best = None  # (batch, img/s, methodology)
     per_batch = {}
     for b in (8, 4, 2, 1):
         try:
@@ -221,15 +221,16 @@ def main():
                 kdt = min(ktimes) / SCAN_K
                 kips = b / kdt
                 log(f"b={b}: scan{SCAN_K} {kdt*1000:.1f} ms/call -> {kips:.2f} img/s")
-                per_batch[f"img_per_sec_b{b}_scan{SCAN_K}"] = round(kips, 3)
+                # fixed key (ADVICE r4): scan_k is emitted as its own field
+                per_batch[f"img_per_sec_b{b}_scan"] = round(kips, 3)
                 if best is None or kips > best[1]:
-                    best = (b, kips)
+                    best = (b, kips, "scan")
             if best is None or ips > best[1]:
-                best = (b, ips)
+                best = (b, ips, "per_call")
         except Exception as e:  # OOM at large batch: fall through
             log(f"b={b} failed: {type(e).__name__}: {str(e)[:200]}")
     assert best is not None, "all batch sizes failed"
-    b, ips = best
+    b, ips, headline_source = best
 
     # ---- train step (ZiRa adapters, jax matcher, custom-VJP MSDA backward);
     # VERDICT r2 item 3: publish training alongside inference ----
@@ -247,26 +248,24 @@ def main():
                 log(f"train bench b={tb} remat={remat} failed: "
                     f"{type(e).__name__}: {str(e)[:200]}")
 
-    # Anchored baseline: the only published measurement of the reference
-    # model family is YOLO-World (CVPR 2024, Tab. 1): Grounding-DINO-T at
-    # 1.5 FPS on a V100 (eager PyTorch, 800px eval resolution). Published
-    # A100-vs-V100 speedups for eager torch CNN/transformer detection
-    # workloads cluster at 1.8-2.5x (NVIDIA A100 whitepaper fp32/TF32
-    # figures; MLPerf inference gaps); 2.5x is the generous end, giving
-    # 3.75 img/s on A100. The 8.0 default above more than doubles that
-    # again, so `vs_baseline` (primary) is strictly conservative and
-    # `vs_baseline_anchored` is the best-evidence comparison.
-    anchored = 1.5 * 2.5
+    # ONE denominator (VERDICT r4 weak#1): the committed-conservative
+    # 8 img/s assumed A100 eager rate. The best-evidence anchored bracket
+    # (1.5 FPS V100, YOLO-World CVPR'24 Tab.1, x2-3 A100/V100 -> 3-5 img/s)
+    # lives in BASELINE.md/docs/ROOFLINE.md prose only — it is NOT emitted
+    # as a second ratio next to the first.
     print(json.dumps({
         "metric": "gdino_t_inference_throughput_800x1216",
         "value": round(ips, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / A100_BASELINE_IPS, 3),
-        "vs_baseline_anchored": round(ips / anchored, 3),
+        # which methodology produced `value` (ADVICE r4): per_call = min-of-n
+        # fully-synced host->device->host round trips; scan = scan_k forwards
+        # compiled into one executable, dispatch amortized
+        "headline_source": headline_source,
+        "scan_k": SCAN_K,
         "baseline_note": (
-            f"assumed A100 eager rate {A100_BASELINE_IPS} img/s (conservative; "
-            "anchored: 1.5 FPS on V100 x 2.5 A100/V100 = 3.75 img/s, "
-            "YOLO-World CVPR'24 Tab.1)"
+            f"assumed A100 eager rate {A100_BASELINE_IPS} img/s "
+            "(conservative; see BASELINE.md provenance)"
         ),
         **per_batch,
         **train_metrics,

@@ -22,6 +22,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Measurement-protocol version stamped into every record (ADVICE r4): all
+# records in /tmp/ab_r4.jsonl written on/after 2026-08-19 (the r4 relay
+# recovery) use the min-of-n per-call value-fetch protocol ("percall_v2");
+# resume treats protocol-mismatched legs as not-done.
+PROTOCOL = "percall_v2"
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
@@ -121,6 +127,14 @@ PHASES["quickbatch"] = [
     ("b4_ref", ["scripts/bench_infer.py", "--batch", "4", "--iters", "6"], {}),
     ("b2_ref", ["scripts/bench_infer.py", "--batch", "2", "--iters", "8"], {}),
 ]
+# dec_small decision rerun (VERDICT r4 weak#6): the r4 reading (95.3 vs
+# bracket refs 98.9/95.3) was inside bracketing noise. 30 iters per leg,
+# ref-exp-ref, to beat the noise or drop the gate.
+PHASES["decide"] = [
+    ("ref_i30", ["scripts/bench_infer.py", "--batch", "1", "--iters", "30"], {}),
+    ("dec_small_i30", ..., {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
+    ("ref_j30", ..., {}),
+]
 PHASES["quicktrain"] = [
     ("t_ref_a", ["scripts/bench_train.py", "--batch", "1", "--no-remat",
                  "--iters", "5"], {}),
@@ -151,7 +165,7 @@ def run_leg(name, argv, env, timeout):
                            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
         return {"leg": name, "error": f"timeout {timeout}s", "env": env}
-    rec = {"leg": name, "env": env, "rc": p.returncode,
+    rec = {"leg": name, "env": env, "protocol": PROTOCOL, "rc": p.returncode,
            "wall_s": round(time.time() - t0, 1)}
     parsed = None
     for line in reversed(p.stdout.strip().splitlines()):
@@ -180,7 +194,10 @@ def main():
             for line in f:
                 try:
                     r = json.loads(line)
-                    if "error" not in r:
+                    # Records without a protocol tag predate the tagging but
+                    # were all measured under percall_v2 (see PROTOCOL note);
+                    # any other explicit protocol is treated as not-done.
+                    if "error" not in r and r.get("protocol", PROTOCOL) == PROTOCOL:
                         done.add(r["leg"])
                 except json.JSONDecodeError:
                     pass

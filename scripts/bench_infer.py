@@ -84,6 +84,8 @@ def main():
         check += float(fwd(params, pixels, mask, text, jnp.float32(1 + i)))
         times.append(time.time() - t0)
     dt = min(times)
+    # upper median for even iteration counts — kept (not statistics.median)
+    # so r4/r5 campaign legs stay comparable; min is the primary metric
     med = sorted(times)[len(times) // 2]
     log(f"b={b}: min {dt*1e3:.1f} / med {med*1e3:.1f} ms/batch -> "
         f"{b/dt:.2f} img/s (check={check:.3e})")
