@@ -449,6 +449,49 @@ def build_tiny_reference_model(wp_tokenizer, max_text_len: int = 32, seed: int =
     return model
 
 
+# ---------------------------------------------------------------------------
+# Session-scoped build caches (VERDICT r4 item 8): the oracle tier built the
+# reference model anew per test; builds are deterministic in
+# (vocab, max_text_len, seed, kind), so one pristine build per key serves the
+# whole pytest process. Tiny models are handed out as deepcopies because the
+# oracles mutate them (randomized freeze weights, monkey-patched
+# dt_inference/matcher, before_train/__rep__ in-place); the fullsize model is
+# handed out SHARED because all its users are read-only (state_dict reads and
+# a no_grad forward).
+# ---------------------------------------------------------------------------
+_TINY_CACHE: dict = {}
+_FULLSIZE_CACHE: dict = {}
+
+
+def _vocab_key(wp_tokenizer):
+    return tuple(sorted(wp_tokenizer.vocab.items()))
+
+
+def get_tiny_reference_model(wp_tokenizer, max_text_len: int = 32,
+                             seed: int = 0, kind: str = "vanilla"):
+    """Cached `build_tiny_reference_model`; returns a fresh deepcopy so
+    callers may mutate weights/methods freely."""
+    import copy
+
+    key = (_vocab_key(wp_tokenizer), max_text_len, seed, kind)
+    if key not in _TINY_CACHE:
+        _TINY_CACHE[key] = build_tiny_reference_model(
+            wp_tokenizer, max_text_len=max_text_len, seed=seed, kind=kind)
+    return copy.deepcopy(_TINY_CACHE[key])
+
+
+def get_fullsize_reference_model(wp_tokenizer, max_text_len: int = 256,
+                                 seed: int = 0):
+    """Cached `build_fullsize_reference_model`; returns the SHARED pristine
+    instance — callers must not mutate it (all current users are
+    read-only)."""
+    key = (_vocab_key(wp_tokenizer), max_text_len, seed)
+    if key not in _FULLSIZE_CACHE:
+        _FULLSIZE_CACHE[key] = build_fullsize_reference_model(
+            wp_tokenizer, max_text_len=max_text_len, seed=seed)
+    return _FULLSIZE_CACHE[key]
+
+
 def build_fullsize_reference_model(wp_tokenizer, max_text_len: int = 256,
                                    seed: int = 0):
     """The reference's vanilla `build_groundingdino` at FULL dimensions

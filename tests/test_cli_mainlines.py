@@ -396,10 +396,10 @@ def test_checkpoint_runbook_dryrun(tmp_path):
     if not os.path.isdir("/root/reference"):
         pytest.skip("reference repo not available")
     from tests.common import tiny_tokenizer
-    from tests.oracle_stubs import build_fullsize_reference_model
+    from tests.oracle_stubs import get_fullsize_reference_model
 
     tok = tiny_tokenizer()
-    ref = build_fullsize_reference_model(tok, max_text_len=256, seed=0)
+    ref = get_fullsize_reference_model(tok, max_text_len=256, seed=0)
     ckpt = tmp_path / "fake_ogc.pth"
     torch.save({"model": ref.state_dict()}, str(ckpt))
     del ref

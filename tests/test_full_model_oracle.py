@@ -35,7 +35,7 @@ if not os.path.isdir("/root/reference"):
     pytest.skip("reference repo not available", allow_module_level=True)
 
 from tests.common import tiny_config
-from tests.oracle_stubs import build_tiny_reference_model
+from tests.oracle_stubs import get_tiny_reference_model
 from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
 from ziragroundingdino_tpu.text.tokenizer import (
     WordPieceTokenizer,
@@ -88,7 +88,7 @@ def _convert_into(model, ref, jp, jm, text, with_stats=False):
 def test_vanilla_full_model_oracle(wp):
     """Vanilla GroundingDINO (`demo/inference_on_a_image.py` config path):
     random torch init -> convert -> identical logits/boxes, fp32."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="vanilla")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="vanilla")
     from groundingdino.util.misc import NestedTensor
 
     cfg = tiny_config(modelname="groundingdino", use_cet=False,
@@ -128,7 +128,7 @@ def test_zira_full_model_oracle(wp):
     forward (dt_inference inputs captured at
     `groundingdino_dual_zero_rep_branch.py:588-591`) vs ours, with the rep
     FREEZE branches randomized so their conversion is load-bearing."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="zira")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="zira")
 
     g = torch.Generator().manual_seed(7)
     with torch.no_grad():
@@ -247,7 +247,7 @@ def test_reference_text_mask_quirk(wp):
     reference's `repeat`-expanded mask differs at batch>1, while
     `repeat_interleave` (our semantics) matches us exactly
     (`transformer_vanilla.py:108-110`)."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="vanilla")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="vanilla")
     tl = ref.transformer.encoder.text_layers[0]
 
     from ziragroundingdino_tpu.models.layers import MultiHeadAttention
@@ -292,7 +292,7 @@ def test_repconvbn_full_model_oracle(wp):
     """repconvbn variant (`groundingdino_repconvbn.py`): the single-branch
     conv+BN rep adapter's FREEZE convs randomized so their conversion is
     load-bearing; eval forward (freeze branch only, `:96-104`) must match."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="repconvbn")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="repconvbn")
 
     g = torch.Generator().manual_seed(11)
     with torch.no_grad():
@@ -349,7 +349,7 @@ def test_cat_full_model_oracle(wp):
     `transformer_for_adapter.py:850,969` in-layer adapters, use_adapter=True):
     adapter up-projections randomized (zero-init otherwise) so the gated
     bottleneck path and its conversion are load-bearing at eval."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="cat")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="cat")
 
     g = torch.Generator().manual_seed(13)
     with torch.no_grad():
@@ -405,7 +405,7 @@ def test_multilayer_full_model_oracle(wp):
     adapters (post-projection placement, `:575-576`); freeze weights
     randomized so their conversion is load-bearing. Eval forward uses the
     freeze branches only (`:100,139`)."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="multilayer")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="multilayer")
 
     g = torch.Generator().manual_seed(17)
     with torch.no_grad():
@@ -464,10 +464,10 @@ def test_fullsize_converter_key_coverage(wp):
     property under test is zero-unmatched-keys / zero merge problems —
     exactly what a real `groundingdino_swint_ogc.pth` load exercises
     (docs/RUNBOOK_checkpoint_parity.md)."""
-    from tests.oracle_stubs import build_fullsize_reference_model
+    from tests.oracle_stubs import get_fullsize_reference_model
     from ziragroundingdino_tpu.config import get_model_config
 
-    ref = build_fullsize_reference_model(wp, max_text_len=256, seed=0)
+    ref = get_fullsize_reference_model(wp, max_text_len=256, seed=0)
     cfg = get_model_config(
         "groundingdino", compute_dtype="float32", use_cet=False,
         use_project_adapter=False, use_zero_inter_loss=False,
@@ -510,10 +510,10 @@ def test_fullsize_vanilla_oracle(wp):
     init at a small image — closes the tiny-scale-only caveat of the other
     oracles (exercises the 256-dim positional hardcodes, real head counts,
     top-900 selection, the full converter surface)."""
-    from tests.oracle_stubs import build_fullsize_reference_model
+    from tests.oracle_stubs import get_fullsize_reference_model
     from ziragroundingdino_tpu.config import get_model_config
 
-    ref = build_fullsize_reference_model(wp, max_text_len=256, seed=0)
+    ref = get_fullsize_reference_model(wp, max_text_len=256, seed=0)
     from groundingdino.util.misc import NestedTensor  # needs stubs installed
 
     pixels, mask = _image(0, h=320, w=480, valid_h=320, valid_w=480)

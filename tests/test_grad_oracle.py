@@ -41,7 +41,7 @@ if not os.path.isdir("/root/reference"):
     pytest.skip("reference repo not available", allow_module_level=True)
 
 from tests.common import tiny_config
-from tests.oracle_stubs import build_tiny_reference_model
+from tests.oracle_stubs import get_tiny_reference_model
 from tests.test_full_model_oracle import _our_text, wp  # noqa: F401 (fixture)
 from ziragroundingdino_tpu.models.groundingdino import GroundingDINO
 from ziragroundingdino_tpu.train.matcher import match_batch
@@ -101,7 +101,7 @@ def test_zira_full_model_grad_oracle(wp):  # noqa: F811
     """ZiRa tiny model, one batch: every trainable leaf's gradient matches
     torch autograd through the reference model + TwoStageCriterion at
     <=1e-2 relative (VERDICT r2 next-round item 1a)."""
-    ref = build_tiny_reference_model(wp, max_text_len=32, seed=0, kind="zira")
+    ref = get_tiny_reference_model(wp, max_text_len=32, seed=0, kind="zira")
     _randomize_zira_branches(ref)
 
     rng = np.random.RandomState(3)
