@@ -135,6 +135,18 @@ PHASES["decide"] = [
     ("dec_small_i30", ..., {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
     ("ref_j30", ..., {}),
 ]
+# r5 threshold-boundary legs (run BEFORE the gate deletion): conv-table won
+# at b=8 (629.9 vs 668.3) and lost at b=1 (+9.4), so the builder becomes
+# batch-dependent — these decide the B threshold; dec_small won at b=1
+# (92.9 vs 99.2/99.4 min-of-30), b2_dec checks it composes at b=2.
+PHASES["thresh"] = [
+    ("b4_conv", ["scripts/bench_infer.py", "--batch", "4", "--iters", "6"],
+     {"ZGDINO_MSDA_CONV_TABLE": "1"}),
+    ("b2_conv", ["scripts/bench_infer.py", "--batch", "2", "--iters", "8"],
+     {"ZGDINO_MSDA_CONV_TABLE": "1"}),
+    ("b2_dec", ["scripts/bench_infer.py", "--batch", "2", "--iters", "8"],
+     {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
+]
 PHASES["quicktrain"] = [
     ("t_ref_a", ["scripts/bench_train.py", "--batch", "1", "--no-remat",
                  "--iters", "5"], {}),
