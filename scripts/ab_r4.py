@@ -147,6 +147,16 @@ PHASES["thresh"] = [
     ("b2_dec", ["scripts/bench_infer.py", "--batch", "2", "--iters", "8"],
      {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
 ]
+# b=1 builder decision at 30 iters: conv won at b=2/4/8 (-3.9/-13.9/-38 ms)
+# but read +9.4 at b=1 over 10 iters — confirm the sign before freezing the
+# batch-dependent builder threshold at B>=2. Composed with the landed
+# dec_small routing so the comparison is between the two candidate b=1
+# defaults.
+PHASES["decide2"] = [
+    ("b1_convdec_i30", ["scripts/bench_infer.py", "--batch", "1", "--iters", "30"],
+     {"ZGDINO_MSDA_CONV_TABLE": "1", "ZGDINO_MSDA_SMALL_MIN": "65536"}),
+    ("b1_dec_k30", ..., {"ZGDINO_MSDA_SMALL_MIN": "65536"}),
+]
 PHASES["quicktrain"] = [
     ("t_ref_a", ["scripts/bench_train.py", "--batch", "1", "--no-remat",
                  "--iters", "5"], {}),

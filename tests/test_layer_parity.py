@@ -437,26 +437,3 @@ def test_proposals_and_sine_embeds_parity():
                                           exchange_xy=False))
     ref2 = emb(pos1[..., 0])
     np.testing.assert_allclose(ours2, ref2, atol=1e-5)
-
-
-def test_layernorm_fast_variance_close(monkeypatch):
-    """ZGDINO_LN_FAST's one-pass E[x^2]-E[x]^2 variance matches the two-pass
-    LayerNorm to ~1e-5 on activation-scale inputs (f32 accumulation)."""
-    import numpy as np
-    import jax
-    import jax.numpy as jnp
-    from ziragroundingdino_tpu.models.layers import LayerNorm
-
-    rng = np.random.default_rng(5)
-    # post-residual scale: offsets up to ~1e2
-    x = (rng.standard_normal((64, 256)) * 3 + rng.uniform(-100, 100, (64, 1))
-         ).astype(np.float32)
-    mod = LayerNorm()
-    params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
-    ref = np.asarray(mod.apply(params, jnp.asarray(x)))
-    monkeypatch.setenv("ZGDINO_LN_FAST", "1")
-    got = np.asarray(mod.apply(params, jnp.asarray(x)))
-    # cancellation bound: mean^2 ~ 1e4 at the +-100 offsets used here, f32
-    # eps 1.2e-7 -> var error ~1e-3 -> output error ~3e-4; the bf16 output
-    # quantum is ~4e-3 relative, so this stays invisible downstream
-    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=5e-4)

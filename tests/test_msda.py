@@ -207,56 +207,40 @@ def test_custom_vjp_saved_rows_matches_autodiff():
         )
 
 
-@pytest.mark.parametrize("env", [
-    {"ZGDINO_MSDA_CONV_TABLE": "1"},
-    {"ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
-    {"ZGDINO_MSDA_FLAT_GATHER": "1"},
-    {"ZGDINO_MSDA_FLAT_GATHER": "1", "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
-    {"ZGDINO_MSDA_CONV_TABLE": "1", "ZGDINO_MSDA_PER_CHAIN_COORDS": "1"},
-])
-def test_small_batch_experimental_paths_exact(env, monkeypatch):
-    """The env-gated r3 perf experiments (conv-built quad table, per-chain
-    coords, flat 2-D-start gather) are numerics-identical to the default
-    small-batch path: the conv kernel is one-hot (one product per output,
-    exact in any dtype) and the gather reads the same rows."""
-    from ziragroundingdino_tpu.ops.msda import _quad_small_batch
-
-    rng = np.random.default_rng(11)
-    value, locs, attn = _rand_inputs(rng, B=2, Q=64, H=4, D=8, P=4)
-    ref = np.asarray(_quad_small_batch(
-        jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn)))
-    for k, v in env.items():
-        monkeypatch.setenv(k, v)
-    got = np.asarray(_quad_small_batch(
-        jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn)))
-    np.testing.assert_array_equal(got, ref)
-
-
 def test_quad_table_build_conv_matches_split():
+    """The one-hot 2x2 grouped conv (the B>=2 default builder after the r5
+    A/B: -3.9/-13.9/-38 ms at b=2/4/8, docs/ab_results.jsonl) is bit-exact
+    vs the shift-concat builder (the B=1 default): the kernel is one-hot,
+    so every output element is a single product."""
     from ziragroundingdino_tpu.ops.msda import (
-        _quad_table_build_conv, _quad_table_build_split)
+        _quad_table_build, _quad_table_build_conv, _quad_table_build_split)
 
     rng = np.random.default_rng(12)
-    B, H, D = 2, 4, 8
+    H, D = 4, 8
     S = sum(h * w for h, w in SHAPES)
-    value = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
-    split = _quad_table_build_split(value, SHAPES)
-    conv = _quad_table_build_conv(value, SHAPES)
-    for a, b in zip(conv, split):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    flat = _quad_table_build_conv(value, SHAPES, head_major=False)
-    for lv, (h, w) in enumerate(SHAPES):
-        qs = (h + 1) * (w + 1)
-        got = np.asarray(flat[lv]).reshape(B, qs, H, 4 * D)
-        np.testing.assert_array_equal(
-            np.moveaxis(got, 2, 1), np.asarray(split[lv]))
+    for B in (1, 2):
+        value = jnp.asarray(
+            rng.standard_normal((B, S, H, D)).astype(np.float32))
+        split = _quad_table_build_split(value, SHAPES)
+        conv = _quad_table_build_conv(value, SHAPES)
+        for a, b in zip(conv, split):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the batch-dependent dispatch (split at B=1, conv at B>=2) is
+    # therefore a pure perf decision with one shared numerics contract
+    v1 = jnp.asarray(rng.standard_normal((1, S, H, D)).astype(np.float32))
+    v2 = jnp.concatenate([v1, v1], axis=0)
+    t1, sq1 = _quad_table_build(v1, SHAPES)
+    t2, sq2 = _quad_table_build(v2, SHAPES)
+    assert sq1 == sq2
+    np.testing.assert_array_equal(
+        np.asarray(t2).reshape(2, -1)[0], np.asarray(t1).reshape(-1))
 
 
-@pytest.mark.parametrize("save_rows", ["1", "0"])
-def test_bwd_per_chain_coords_exact(save_rows, monkeypatch):
-    """ZGDINO_MSDA_BWD_PER_CHAIN_COORDS produces bit-identical gradients on
-    both residual modes (saved-rows and regather) — it only changes where
-    idx/wts/g4 slices are materialized."""
+def test_residual_modes_grads_identical(monkeypatch):
+    """The two custom-VJP residual modes — saved-rows (default, keeps the
+    forward's gathered row blocks) and regather (SAVE_ROWS=0: rebuilds the
+    quad table and regathers in the backward) — produce bit-identical
+    gradients: the regathered rows are the same table rows."""
     from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
 
     rng = np.random.default_rng(21)
@@ -271,36 +255,13 @@ def test_bwd_per_chain_coords_exact(save_rows, monkeypatch):
             return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
         return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
 
-    monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", save_rows)
+    monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", "1")
     ref = grads()
-    monkeypatch.setenv("ZGDINO_MSDA_BWD_PER_CHAIN_COORDS", "1")
+    monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", "0")
     got = grads()
     for name, a, b in zip(("value", "loc", "attn"), ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
                                       err_msg=name)
-
-
-def test_bwd_per_level_scatter_exact(monkeypatch):
-    """ZGDINO_MSDA_PER_LEVEL_SCATTER splits the backward's d_table scatter
-    into per-level scatters (the K axis is level-major) — identical sums."""
-    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
-
-    rng = np.random.default_rng(23)
-    value, locs, attn = _rand_inputs(rng, B=2, Q=32, H=4, D=8, P=4)
-
-    def grads():
-        def loss(v, l, a):
-            out = ms_deform_attn_quad(jnp.asarray(v), SHAPES, jnp.asarray(l),
-                                      jnp.asarray(a))
-            return jnp.sum(out * jnp.cos(jnp.arange(out.size).reshape(out.shape)))
-        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
-
-    ref = grads()
-    monkeypatch.setenv("ZGDINO_MSDA_PER_LEVEL_SCATTER", "1")
-    got = grads()
-    for name, a, b in zip(("value", "loc", "attn"), ref, got):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6, err_msg=name)
 
 
 def test_bf16_vjp_drift_bounded(monkeypatch):
@@ -350,98 +311,35 @@ def test_bf16_vjp_drift_bounded(monkeypatch):
     assert rel(gbf[0], gbf_f32acc[0]) < 2e-2, rel(gbf[0], gbf_f32acc[0])
 
 
-@pytest.mark.parametrize("hg,unroll", [(1, "0"), (2, "0"), (2, "1")])
-def test_img_head_group_exact(hg, unroll, monkeypatch):
-    """ZGDINO_MSDA_IMG_HEAD_GROUP splits each per-image gather table into
-    H/hg head-group tables (smaller tables ride the gather-rate cliff);
-    the group-wise f32 reduce then concat is the same math as the whole-
-    image weighted gather. Also exercised combined with IMG_UNROLL — the
-    b8_unroll_hg2 A/B leg's exact configuration."""
-    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_xla_quad
+def test_use_chains_routing():
+    """The default routing landed from the r5 decision legs
+    (docs/ab_results.jsonl): encoder-scale calls ride per-(b,h) chains at
+    B <= bh_max_b; decoder-scale calls ride chains ONLY at B == 1
+    (`dec_small_i30` won -3..-6.4 ms at b=1, `b2_dec` lost +6.6 at b=2)."""
+    from ziragroundingdino_tpu.ops.msda import _use_chains
 
-    rng = np.random.default_rng(43)
-    value, locs, attn = _rand_inputs(rng, B=4, Q=64, H=4, D=8, P=4)
-    args = (jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn))
-    ref = np.asarray(ms_deform_attn_xla_quad(*args))
-    monkeypatch.setenv("ZGDINO_MSDA_IMG_HEAD_GROUP", str(hg))
-    monkeypatch.setenv("ZGDINO_MSDA_IMG_UNROLL", unroll)
-    got = np.asarray(ms_deform_attn_xla_quad(*args))
-    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)
-
-
-def test_allfwd_combo_grads_exact(monkeypatch):
-    """The combined winner-candidate configuration from the round-4 A/B
-    queue (`t_allfwd`: CONV_TABLE + PER_CHAIN_COORDS forward with
-    BWD_PER_CHAIN_COORDS backward) yields gradients identical to the
-    all-default custom VJP — each gate is individually bit-exact and they
-    compose without interaction."""
-    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
-
-    rng = np.random.default_rng(47)
-    value, locs, attn = _rand_inputs(rng, B=2, Q=8192, H=4, D=8, P=8,
-                                     shapes=((16, 16), (8, 8)))
-
-    def grads():
-        def loss(v, l, a):
-            out = ms_deform_attn_quad(
-                jnp.asarray(v), ((16, 16), (8, 8)), jnp.asarray(l),
-                jnp.asarray(a))
-            return jnp.sum(out * jnp.sin(jnp.arange(out.size).reshape(out.shape)))
-        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
-
-    ref = grads()
-    monkeypatch.setenv("ZGDINO_MSDA_CONV_TABLE", "1")
-    monkeypatch.setenv("ZGDINO_MSDA_PER_CHAIN_COORDS", "1")
-    monkeypatch.setenv("ZGDINO_MSDA_BWD_PER_CHAIN_COORDS", "1")
-    got = grads()
-    for name, a, b in zip(("value", "loc", "attn"), ref, got):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-6, atol=1e-6, err_msg=name)
+    enc_rows = lambda B: B * 20197 * 8 * 16  # 800x1216 encoder
+    dec_rows = lambda B: B * 900 * 8 * 16    # 900-query decoder
+    assert _use_chains(1, enc_rows(1), 2)
+    assert _use_chains(2, enc_rows(2), 2)
+    assert not _use_chains(4, enc_rows(4), 2)   # per-image tables at B>2
+    assert _use_chains(4, enc_rows(4), 4)       # unless bh_max_b raised
+    assert _use_chains(1, dec_rows(1), 2)       # decoder chains at b=1 only
+    assert not _use_chains(2, dec_rows(2), 2)
+    assert not _use_chains(1, 4096, 2)          # tiny calls stay whole-table
 
 
-def test_small_min_decoder_routing_exact(monkeypatch):
-    """ZGDINO_MSDA_SMALL_MIN lowers the per-(b,h)-chain threshold so
-    decoder-scale calls (B*Q*H*K below 1<<20) take the unrolled chain path
-    instead of one whole-table gather — same math, and the custom VJP's
-    saved-rows residual engages on the rerouted call too."""
-    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
+def test_chains_path_matches_generic_at_decoder_scale():
+    """The B=1 decoder routing change is a pure perf decision: the chain
+    path's forward/grads match the generic whole-table path's math (the
+    generic path is still reachable at B=2 for the same shapes)."""
+    from ziragroundingdino_tpu.ops.msda import (
+        _quad_small_batch, ms_deform_attn_xla_quad)
 
     rng = np.random.default_rng(53)
-    # decoder-like: small Q over a multi-level map, B*Q*H*K = 2*64*4*8=4096
     value, locs, attn = _rand_inputs(rng, B=2, Q=64, H=4, D=8, P=4)
-
-    def fwd_and_grads():
-        args = (jnp.asarray(value), SHAPES, jnp.asarray(locs),
-                jnp.asarray(attn))
-        out = np.asarray(ms_deform_attn_quad(*args))
-
-        def loss(v, l, a):
-            o = ms_deform_attn_quad(jnp.asarray(v), SHAPES, jnp.asarray(l),
-                                    jnp.asarray(a))
-            return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape)))
-
-        g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
-        return out, g
-
-    ref_out, ref_g = fwd_and_grads()
-    monkeypatch.setenv("ZGDINO_MSDA_SMALL_MIN", "1024")
-    got_out, got_g = fwd_and_grads()
-    np.testing.assert_allclose(got_out, ref_out, rtol=1e-6, atol=1e-6)
-    for name, a, b in zip(("value", "loc", "attn"), ref_g, got_g):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6, err_msg=name)
-
-
-def test_img_unroll_exact(monkeypatch):
-    """ZGDINO_MSDA_IMG_UNROLL python-unrolls the B>2 per-image loop (scan
-    bodies don't pipeline on v5e) — same math as the lax.scan (only
-    fusion-order f32 noise, observed 6e-8)."""
-    from ziragroundingdino_tpu.ops.msda import ms_deform_attn_xla_quad
-
-    rng = np.random.default_rng(41)
-    value, locs, attn = _rand_inputs(rng, B=4, Q=32, H=4, D=8, P=4)
     args = (jnp.asarray(value), SHAPES, jnp.asarray(locs), jnp.asarray(attn))
+    # B=2, 4k rows: ms_deform_attn_xla_quad routes to the whole-table path
     ref = np.asarray(ms_deform_attn_xla_quad(*args))
-    monkeypatch.setenv("ZGDINO_MSDA_IMG_UNROLL", "1")
-    got = np.asarray(ms_deform_attn_xla_quad(*args))
+    got = np.asarray(_quad_small_batch(*args))
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-6)

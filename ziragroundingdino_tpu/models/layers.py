@@ -18,7 +18,6 @@ normalize to one and invert at the boundary).
 from __future__ import annotations
 
 import math
-import os
 from typing import Callable, Optional, Sequence
 
 import jax
@@ -68,12 +67,10 @@ class Dense(nn.Module):
 class LayerNorm(nn.Module):
     """LayerNorm with torch defaults (eps=1e-5) computed in fp32.
 
-    ``ZGDINO_LN_FAST=1`` (trace-time) switches the variance to the one-pass
-    E[x^2] - E[x]^2 form: one fewer full read of x per LN (the r3 trace
-    showed the two-pass convert_reduce fusions at ~2.4 ms/fwd over 13
-    20k-token LNs). In f32 on post-residual activations (O(1)-O(10^2))
-    the catastrophic-cancellation error is ~1e-6 relative — below the
-    bf16 output quantum."""
+    Two-pass variance kept deliberately: the one-pass E[x^2] - E[x]^2 form
+    measured perf-neutral on v5e (`ln_fast` leg, docs/ab_results.jsonl —
+    the second read hides under the MSDA gathers' DMA waits) and has worse
+    cancellation behavior, so it was deleted."""
 
     epsilon: float = 1e-5
     dtype: Optional[jnp.dtype] = None
@@ -85,12 +82,7 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (dim,))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=-1, keepdims=True)
-        if os.environ.get("ZGDINO_LN_FAST", "0") == "1":
-            var = jnp.maximum(
-                jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-                - jnp.square(mean), 0.0)
-        else:
-            var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale + bias
         return y.astype(self.dtype or x.dtype)

@@ -21,7 +21,6 @@ TPU-first design notes (not a port):
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -100,13 +99,11 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(bw, n, 3, h, hd).transpose(2, 0, 3, 1, 4)  # [3, B*nW, h, N, hd]
         q, k, v = qkv[0], qkv[1], qkv[2]
 
-        # softmax dtype: f32 by default; ZGDINO_SWIN_BF16_SOFTMAX=1 keeps the
-        # whole logits+bias+softmax chain in the compute dtype, removing the
-        # convert fusions the r3 trace attributed ~2.5 ms/fwd to (window
-        # logits are 49x49 and max-subtracted inside jax.nn.softmax, so bf16
-        # is numerically tame here; drift-bounded in tests/test_swin_parity)
-        sd = (cd if os.environ.get("ZGDINO_SWIN_BF16_SOFTMAX", "0") == "1"
-              else jnp.float32)
+        # f32 softmax kept: a compute-dtype (bf16) logits+bias+softmax chain
+        # measured perf-neutral on v5e (`swin_bf16_sm` leg,
+        # docs/ab_results.jsonl — the convert fusions hide under MSDA DMA),
+        # so the numerically safer f32 chain stays.
+        sd = jnp.float32
         logits = jnp.einsum("bhqd,bhkd->bhqk", q * (hd**-0.5), k).astype(sd)
         logits = logits + rel_bias[None].astype(sd)
         if attn_mask is not None:

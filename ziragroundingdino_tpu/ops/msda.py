@@ -83,17 +83,13 @@ def _quad_corner_kernel(H: int, D: int, dtype) -> jnp.ndarray:
     return jnp.asarray(k, dtype)
 
 
-def _quad_table_build_conv(value: jnp.ndarray, spatial_shapes,
-                           head_major: bool = True):
+def _quad_table_build_conv(value: jnp.ndarray, spatial_shapes):
     """Quad tables via one 2x2 one-hot MXU convolution per level.
 
     Numerics-identical to `_quad_table_build_split` (zero-padded border,
     corner order v[y-1,x-1], v[y-1,x], v[y,x-1], v[y,x] at table row
-    (y0+1, x0+1)); replaces its pad + 4-shifted-slice + lane-concat chain,
-    which the r3 trace measured at ~1.05 ms/encoder-layer of pad/concat/copy
-    fusions (~10x off the bandwidth floor for a 41 MB table). Returns the
-    per-level [B, H, qsize, 4D] list (`head_major=True`) or the
-    lane-contiguous [B, qsize, H*4D] list (for the 2-D-start flat gather).
+    (y0+1, x0+1)); replaces its pad + 4-shifted-slice + lane-concat chain.
+    Returns the per-level [B, H, qsize, 4D] list.
     """
     B, S, H, D = value.shape
     kern = _quad_corner_kernel(H, D, value.dtype)
@@ -112,19 +108,22 @@ def _quad_table_build_conv(value: jnp.ndarray, spatial_shapes,
             preferred_element_type=value.dtype,
         )  # [B, h+1, w+1, H*4D]
         qsize = (h_l + 1) * (w_l + 1)
-        if head_major:
-            quads.append(jnp.moveaxis(
-                out.reshape(B, qsize, H, 4 * D), 2, 1))
-        else:
-            quads.append(out.reshape(B, qsize, H * 4 * D))
+        quads.append(jnp.moveaxis(out.reshape(B, qsize, H, 4 * D), 2, 1))
     return quads
 
 
 def _quad_table_build(value: jnp.ndarray, spatial_shapes):
     """Flat all-level quad table ([B*H*Sq, 4D], sq); see
-    `_quad_table_build_split` for the per-level packing rule."""
+    `_quad_table_build_split` for the per-level packing rule.
+
+    The builder is batch-dependent (r5 A/B, docs/ab_results.jsonl): the
+    one-hot grouped conv measured -3.9/-13.9/-38 ms/batch at b=2/4/8 (its
+    per-group MXU passes amortize at batch) but +7.4..+9.4 ms at b=1
+    (min-of-30, `b1_convdec_i30`), where the shift-concat chain's copies
+    hide under the gathers' DMA waits.
+    """
     B, S, H, D = value.shape
-    if os.environ.get("ZGDINO_MSDA_CONV_TABLE", "0") == "1":
+    if B >= 2:
         quads = _quad_table_build_conv(value, spatial_shapes)
     else:
         quads = _quad_table_build_split(value, spatial_shapes)
@@ -160,14 +159,11 @@ def _quad_table_adjoint(d_table: jnp.ndarray, spatial_shapes, B: int, H: int, D:
     return jnp.swapaxes(jnp.concatenate(parts, axis=2), 1, 2)
 
 
-def _quad_coords(spatial_shapes, sampling_locations, attention_weights,
-                 flat=True):
+def _quad_coords(spatial_shapes, sampling_locations, attention_weights):
     """Per-sample quad-table indices and bilinear corner weights.
 
     Returns (idx [B,Q,H,K] int32 rows into one image-head's quad table,
-    wts [B,Q,H,K,4] float32); with ``flat=False`` the level axis stays
-    separate and rows are local to each LEVEL's own quad table
-    (idx [B,Q,H,L,P], wts [B,Q,H,L,P,4]). Differentiable wrt (locations,
+    wts [B,Q,H,K,4] float32). Differentiable wrt (locations,
     weights) through `wts` — index derivatives are zero a.e. (floor),
     matching the reference CUDA backward which differentiates only the
     lerp weights."""
@@ -208,10 +204,6 @@ def _quad_coords(spatial_shapes, sampling_locations, attention_weights,
         valid = (xi >= 0) & (xi < wli) & (yi >= 0) & (yi < hli)
         corner_ws.append(jnp.where(valid, w, 0.0) * attn)
     wts = jnp.stack(corner_ws, axis=-1)  # [B,Q,H,L,P,4]
-
-    if not flat:
-        # per-level local rows (no start offset), level axis kept separate
-        return idx - start_l.reshape(sh), wts
 
     k = L * P
     return idx.reshape(B, Q, H, k), wts.reshape(B, Q, H, k, 4)
@@ -268,35 +260,21 @@ _GATHER_DNUMS = jax.lax.GatherDimensionNumbers(
     offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0,)
 )
 
-# 2-D-start variant: index vectors are (row, lane_start) into a [R, C]
-# table; slice_sizes (1, 4D) picks one head's 128 lanes at a head offset
-_GATHER_DNUMS_2D = jax.lax.GatherDimensionNumbers(
-    offset_dims=(1,), collapsed_slice_dims=(0,), start_index_map=(0, 1)
-)
 
+def _use_chains(B: int, rows: int, bh_max_b: int) -> bool:
+    """Route to the unrolled per-(b,h) chain path?
 
-def _chain_coords(spatial_shapes, loc, attn, b, hh, cd):
-    """Quad coords for one (b, h) chain, computed from the loc/attn slices
-    so idx/wts are born in the chain's consumer layout (no whole-tensor
-    [B,H,Q,K,4] materialization + per-head layout copies). Returns
-    (idx [Q,K] int32, wts [Q,K,4] in ``cd``)."""
-    ci, w4 = _quad_coords(
-        spatial_shapes,
-        loc[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
-        attn[b:b + 1, :, hh:hh + 1].swapaxes(1, 2),
-    )
-    return ci[0, 0], w4[0, 0].astype(cd)
-
-
-def _small_min() -> int:
-    """Row-count threshold (B*Q*H*K) above which MSDA takes the unrolled
-    per-(b,h) chain path. The default keeps the encoder (323k rows/chain at
-    800x1216) on chains and the decoder (Q=900 -> 115k rows total) on one
-    whole-table gather; the r3 trace shows that decoder gather running at
-    ~108 rows/us vs the chains' ~613 (1.07 ms x6 layers), so
-    ZGDINO_MSDA_SMALL_MIN=65536 routes the decoder through chains too —
-    an A/B candidate (scripts/ab_r4.py `dec_small`)."""
-    return int(os.environ.get("ZGDINO_MSDA_SMALL_MIN", str(1 << 20)))
+    Encoder-scale calls (323k rows/chain at 800x1216) always ride chains at
+    B <= bh_max_b — per-(b,h) ~10 MB tables gather at ~613 rows/us vs ~390
+    for the whole-image table (measured cliff, BASELINE.md). Decoder-scale
+    calls (Q=900 -> 115k rows) ride chains ONLY at B == 1: the r5 decision
+    legs (docs/ab_results.jsonl) measured -3..-6.4 ms/call at b=1
+    (`dec_small_i30` 92.9 / `b1_dec_k30` 96.2 vs 99.2/99.4 min-of-30 refs
+    — the whole-table decoder gather runs at ~108 rows/us) but +6.6 ms at
+    b=2 (`b2_dec`), where 16 chains' issue overhead beats the rate gain."""
+    if rows >= (1 << 20) and B <= bh_max_b:
+        return True
+    return B == 1 and rows >= 65536
 
 
 def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
@@ -319,91 +297,31 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
     _, Q, _, L, P, _ = loc.shape
     k = L * P
     cd = value.dtype
-    if os.environ.get("ZGDINO_MSDA_SPLIT_LEVELS", "0") == "1":
-        # Per-LEVEL tables and gathers: no flat-table concatenate and no
-        # cross-level layout copies; same total gather rows (Q*P per level).
-        # MEASURED LOSS on v5e (r3): 85.7 ms/fwd vs 74.4 flat at b=1 — the
-        # 4x shorter per-level gathers pay more in issue overhead than the
-        # concat/copy removal saves. Kept env-gated for re-measurement on
-        # future hardware; default is the flat path below.
-        tables = _quad_table_build_split(value, spatial_shapes)
-        idx, wts = _quad_coords(
-            spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2),
-            flat=False,
-        )  # idx [B,H,Q,L,P] local rows, wts [B,H,Q,L,P,4]
-        wts = wts.astype(cd)
-        heads = []
-        for b in range(B):
-            for hh in range(H):
-                acc = None
-                for lv in range(L):
-                    ci = idx[b, hh, :, lv]  # [Q,P]
-                    w4 = wts[b, hh, :, lv]  # [Q,P,4]
-                    g = jax.lax.gather(
-                        tables[lv][b, hh], ci.reshape(-1, 1), _GATHER_DNUMS,
-                        slice_sizes=(1, 4 * D),
-                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                    ).reshape(Q, P, 4 * D)
-                    part = jnp.sum(g * _lane_expand(w4, D), axis=1,
-                                   dtype=jnp.float32)
-                    acc = part if acc is None else acc + part
-                heads.append(acc)
-        return _fold_heads(heads, B, Q, H, D, cd)
-    flat_gather = os.environ.get("ZGDINO_MSDA_FLAT_GATHER", "0") == "1"
-    per_chain = os.environ.get("ZGDINO_MSDA_PER_CHAIN_COORDS", "0") == "1"
-    if flat_gather:
-        # 2-D-start gather straight out of the conv-built lane-contiguous
-        # table [B*sq, H*4D]: no head-major relayout copy at all; each index
-        # is (row, h*4D) and the gather slices 4D lanes at a head offset
-        quads = _quad_table_build_conv(value, spatial_shapes, head_major=False)
-        sq = sum(_quad_sizes(spatial_shapes))
-        table_flat = jnp.concatenate(quads, axis=1).reshape(B * sq, H * 4 * D)
-        table_bh = None
-    else:
-        quad_table, sq = _quad_table_build(value, spatial_shapes)
-        table_bh = quad_table.reshape(B * H, sq, 4 * D)
-    if not per_chain:
-        # dims 1,2 of loc/attn are positional-only for _quad_coords
-        idx, wts = _quad_coords(
-            spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2)
-        )  # idx [B,H,Q,K] rows local to one (b,h) table, wts [B,H,Q,K,4]
-        wts = wts.astype(cd)
+    quad_table, sq = _quad_table_build(value, spatial_shapes)
+    table_bh = quad_table.reshape(B * H, sq, 4 * D)
+    # dims 1,2 of loc/attn are positional-only for _quad_coords
+    idx, wts = _quad_coords(
+        spatial_shapes, jnp.swapaxes(loc, 1, 2), jnp.swapaxes(attn, 1, 2)
+    )  # idx [B,H,Q,K] rows local to one (b,h) table, wts [B,H,Q,K,4]
+    wts = wts.astype(cd)
     n_c = -(-Q // qc) if qc else 1
     qc = qc or Q
     heads = []
     rows_saved = []
     for b in range(B):
         for hh in range(H):
-            if per_chain:
-                # coords born per (b, h): the [1,1,Q,K(,4)] idx/wts slices
-                # come out of their producer fusion already in the layout
-                # the chain consumes — the r3 trace showed 48 layout copies
-                # (~1.8 ms/fwd, 9 GB/s effective) feeding the chains from
-                # the whole-tensor [B,H,Q,K,4] coords
-                ci_c, w4_c = _chain_coords(spatial_shapes, loc, attn, b, hh, cd)
-            else:
-                ci_c, w4_c = idx[b, hh], wts[b, hh]
+            ci_c, w4_c = idx[b, hh], wts[b, hh]
             chunks = []
             for c in range(n_c):
                 lo = c * qc
                 hi = min(Q, lo + qc)
                 ci = ci_c[lo:hi]
                 w4 = w4_c[lo:hi]
-                if flat_gather:
-                    starts = jnp.stack(
-                        (ci.reshape(-1) + b * sq,
-                         jnp.full((ci.size,), hh * 4 * D, ci.dtype)), axis=1)
-                    g = jax.lax.gather(
-                        table_flat, starts, _GATHER_DNUMS_2D,
-                        slice_sizes=(1, 4 * D),
-                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                    ).reshape(hi - lo, k, 4 * D)
-                else:
-                    g = jax.lax.gather(
-                        table_bh[b * H + hh], ci.reshape(-1, 1), _GATHER_DNUMS,
-                        slice_sizes=(1, 4 * D),
-                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                    ).reshape(hi - lo, k, 4 * D)
+                g = jax.lax.gather(
+                    table_bh[b * H + hh], ci.reshape(-1, 1), _GATHER_DNUMS,
+                    slice_sizes=(1, 4 * D),
+                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+                ).reshape(hi - lo, k, 4 * D)
                 if save_rows:
                     rows_saved.append(g)
                 chunks.append(
@@ -476,7 +394,7 @@ def ms_deform_attn_xla_quad(
     # strategy knob for batch>2 experiments: raise to use the per-(b,h)
     # path at larger batches instead of per-image tables
     bh_max_b = int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2"))
-    if (not (q_chunk and q_chunk < Q)) and B * Q * H * k >= _small_min() and B <= bh_max_b:
+    if (not (q_chunk and q_chunk < Q)) and _use_chains(B, B * Q * H * k, bh_max_b):
         return _quad_small_batch(
             value, spatial_shapes, sampling_locations, attention_weights
         )
@@ -546,32 +464,13 @@ def ms_deform_attn_xla_quad(
         idx_bc = idx_b.reshape(B, n_c2, qc2, H, k)
         wts_bc = wts_b.reshape(B, n_c2, qc2, H, k, 4)
 
-        # heads per inner gather table (0 = all H in one per-image table).
-        # Smaller tables ride the gather-rate cliff (~10 MB -> ~600 rows/us
-        # vs ~390 at the 43 MB whole-image table); the inner python loop is
-        # unrolled, NOT a 64-iteration (b,h) scan (which crashed the relay
-        # worker in r2 — see BASELINE.md).
-        head_group = int(os.environ.get("ZGDINO_MSDA_IMG_HEAD_GROUP", "0"))
-
+        # One whole-image (43 MB, ~390 rows/us) gather per scan step.
+        # Measured-and-deleted alternatives (docs/ab_results.jsonl, b=8):
+        # head-grouped ~10 MB tables (+29/+23 ms — 2-8x more gather issues
+        # beat the small-table rate gain) and a python-unrolled per-image
+        # loop (+108 ms — the unroll defeats the scan's double-buffering).
         def per_img(_, tiw):
             tb, ci, cw = tiw  # [H*sq,4D], [n_c2,qc2,H,k], [n_c2,qc2,H,k,4]
-            if n_c2 == 1 and head_group and head_group < H and H % head_group == 0:
-                hg = head_group
-                ng = H // hg
-                tbg = tb.reshape(ng, hg * sq, 4 * D)
-                parts = []
-                for gi in range(ng):
-                    cig = ci[0, :, gi * hg:(gi + 1) * hg] - gi * hg * sq
-                    cwg = cw[0, :, gi * hg:(gi + 1) * hg]
-                    g = jax.lax.gather(
-                        tbg[gi], cig.reshape(-1, 1), _GATHER_DNUMS,
-                        slice_sizes=(1, 4 * D),
-                        mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                    ).reshape(qc2, hg, k, 4 * D)
-                    parts.append(
-                        jnp.sum(g * _lane_expand(cwg, D), axis=2,
-                                dtype=jnp.float32))
-                return None, jnp.concatenate(parts, axis=1)  # [qc2, H, 4D]
             if n_c2 == 1:
                 return None, weighted_gather(tb, ci[0][None], cw[0][None], 1, qc2)[0]
 
@@ -582,18 +481,7 @@ def ms_deform_attn_xla_quad(
             _, o = jax.lax.scan(chunk2, None, (ci, cw))  # [n_c2, qc2, H, 4D]
             return None, o.reshape(n_c2 * qc2, H, 4 * D)
 
-        if os.environ.get("ZGDINO_MSDA_IMG_UNROLL", "0") == "1":
-            # python-unrolled per-image loop: scan bodies don't pipeline
-            # across iterations on v5e (BASELINE.md), so unrolling lets XLA
-            # overlap image i's weighted reduce with image i+1's gather —
-            # the same effect measured ~6% on the unrolled backward chains.
-            # B iterations only (<=8), so compile-time cost is mild.
-            out = jnp.stack([
-                per_img(None, (table_b[b_], idx_bc[b_], wts_bc[b_]))[1]
-                for b_ in range(B)
-            ])
-        else:
-            _, out = jax.lax.scan(per_img, None, (table_b, idx_bc, wts_bc))
+        _, out = jax.lax.scan(per_img, None, (table_b, idx_bc, wts_bc))
         if q_pad2:
             out = out[:, :Q]
     else:
@@ -748,16 +636,15 @@ def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_ch
     rows_mb = (B * H * Q * L * P * 4 * D * value.dtype.itemsize) >> 20
     if (os.environ.get("ZGDINO_MSDA_SAVE_ROWS", "1") == "1"
             and not (q_chunk and q_chunk < Q) and B * H <= 16
-            and B * Q * H * L * P >= _small_min()
+            and _use_chains(B, B * Q * H * L * P,
+                            int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2")))
             # per-call residual byte cap: at 800x1216 b=1 the six encoder
             # layers hold 6 x 662 MB which fits 16 GB HBM next to params
             # and activations; b=2 would double it and OOM (the relay
             # worker crash-tested this, r3) — larger batches fall back to
             # the memory-lean regather residual below
             and rows_mb <= int(os.environ.get("ZGDINO_MSDA_SAVE_ROWS_MAX_MB",
-                                              "800"))
-            and os.environ.get("ZGDINO_MSDA_SPLIT_LEVELS", "0") != "1"
-            and int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2")) >= B):
+                                              "800"))):
         out, rows = _quad_small_batch(
             value, spatial_shapes, sampling_locations, attention_weights,
             save_rows=True,
@@ -792,14 +679,11 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
         quad_table, sq = _quad_table_build(value, spatial_shapes)
     k = L * P
 
-    # per-chain coords for the backward (same layout-copy rationale as the
-    # forward's ZGDINO_MSDA_PER_CHAIN_COORDS; independent gate so each
-    # direction can be A/B'd on its own); only on the unrolled paths
-    bwd_per_chain = (os.environ.get("ZGDINO_MSDA_BWD_PER_CHAIN_COORDS", "0")
-                     == "1" and (saved_rows is not None or B * H <= 16))
-    if not bwd_per_chain:
-        idx, wts32 = _quad_coords(spatial_shapes, loc, attn)
-        w4_src = wts32.astype(cd)
+    # recompute coords once for the whole call (a per-(b,h) recompute
+    # variant measured +11.3 ms/step — `t_bwd_chain`, docs/ab_results.jsonl
+    # — the 16x elementwise recompute costs more than the layout copies)
+    idx, wts32 = _quad_coords(spatial_shapes, loc, attn)
+    w4_src = wts32.astype(cd)
 
     # corner-unfold the output cotangent on the MXU (adjoint of the
     # final reshape(B,Q,H,4,D).sum(3)): g4[..., c*D+d] = g[..., d]
@@ -825,18 +709,12 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
     # the [Q, K, 4D] row block (~83 MB at encoder scale).
     table_bh = (None if saved_rows is not None
                 else quad_table.reshape(B * H, sq, 4 * D))
-    if bwd_per_chain:
-        def chain_ops(i):
-            b_, hh_ = divmod(i, H)
-            ci, w4c = _chain_coords(spatial_shapes, loc, attn, b_, hh_, cd)
-            return ci, w4c, g4[b_, :, hh_]
-    else:
-        idx_bh = jnp.moveaxis(idx, 2, 1).reshape(B * H, Q, k)
-        w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
-        g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
+    idx_bh = jnp.moveaxis(idx, 2, 1).reshape(B * H, Q, k)
+    w4_bh = jnp.moveaxis(w4_src, 2, 1).reshape(B * H, Q, k, 4)
+    g4_bh = jnp.moveaxis(g4, 2, 1).reshape(B * H, Q, 4 * D)
 
-        def chain_ops(i):
-            return idx_bh[i], w4_bh[i], g4_bh[i]
+    def chain_ops(i):
+        return idx_bh[i], w4_bh[i], g4_bh[i]
 
     # bf16 scatter accumulator (default on under bf16 compute,
     # ZGDINO_MSDA_BF16_SCATTER=0 for f32): halves the accumulator bytes.
@@ -850,40 +728,20 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
                  os.environ.get("ZGDINO_MSDA_BF16_SCATTER", "1") == "1"
                  else jnp.float32)
 
-    # Per-LEVEL scatter accumulators (env-gated): the K axis is level-major
-    # (k = l*P + p), so slicing K splits the scatter into L independent
-    # scatters into each level's own (smaller) quad table — identical sums,
-    # smaller accumulator footprint per scatter (L0 at encoder scale: 7.9 MB
-    # f32 / 4 MB bf16 vs the 10/5 MB whole table). Pays off only if the v5e
-    # scatter rate keeps improving below the measured 16 MB cliff.
-    per_level_scatter = (os.environ.get("ZGDINO_MSDA_PER_LEVEL_SCATTER", "0")
-                         == "1")
-    qsizes = _quad_sizes(spatial_shapes)
-    level_starts = np.cumsum([0] + list(qsizes))[:-1]
-
+    # One whole-table scatter per (b, h) chain: a per-LEVEL split of the
+    # scatter (L smaller accumulators) measured +14.5 ms/step
+    # (`t_per_level`, docs/ab_results.jsonl) — below the 16 MB cliff the
+    # extra scatter issues cost more than the smaller accumulators save.
     def per_bh(rows, ci, w4c, g4c):
         # rows [Q,K,4D] (saved from forward, or regathered), ci [Q,K],
         # w4c [Q,K,4], g4c [Q,4D]
         g4b = g4c[:, None, :]  # broadcast over K
         d_rows = (g4b * _lane_expand(w4c, D)).astype(acc_dtype)
-        if per_level_scatter:
-            parts_l = []
-            for lv in range(L):
-                ci_l = ci[:, lv * P:(lv + 1) * P] - int(level_starts[lv])
-                dr_l = d_rows[:, lv * P:(lv + 1) * P]
-                parts_l.append(jax.lax.scatter_add(
-                    jnp.zeros((qsizes[lv], 4 * D), acc_dtype),
-                    ci_l.reshape(-1, 1), dr_l.reshape(-1, 4 * D),
-                    _SCATTER_DNUMS,
-                    mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-                ))
-            d_tb = jnp.concatenate(parts_l, axis=0).astype(jnp.float32)
-        else:
-            d_tb = jax.lax.scatter_add(
-                jnp.zeros((sq, 4 * D), acc_dtype), ci.reshape(-1, 1),
-                d_rows.reshape(-1, 4 * D), _SCATTER_DNUMS,
-                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-            ).astype(jnp.float32)
+        d_tb = jax.lax.scatter_add(
+            jnp.zeros((sq, 4 * D), acc_dtype), ci.reshape(-1, 1),
+            d_rows.reshape(-1, 4 * D), _SCATTER_DNUMS,
+            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+        ).astype(jnp.float32)
         d_w_wide = g4b * rows  # [Q,K,4D]
         d_w4c = jnp.dot(
             d_w_wide.reshape(-1, 4 * D).astype(jnp.float32), foldT,
