@@ -236,14 +236,17 @@ def test_quad_table_build_conv_matches_split():
         np.asarray(t2).reshape(2, -1)[0], np.asarray(t1).reshape(-1))
 
 
-def test_residual_modes_grads_identical(monkeypatch):
-    """The two custom-VJP residual modes — saved-rows (default, keeps the
-    forward's gathered row blocks) and regather (SAVE_ROWS=0: rebuilds the
-    quad table and regathers in the backward) — produce bit-identical
-    gradients: the regathered rows are the same table rows."""
+@pytest.mark.parametrize("mode", ["partial", "none"])
+def test_residual_modes_grads_identical(mode, monkeypatch):
+    """The custom-VJP residual modes — full saved-rows (default), PARTIAL
+    saved-rows (byte cap saves only the first chains; the rest regather
+    from the forward's saved quad table — the b=2 train default), and
+    all-regather (SAVE_ROWS=0: rebuilds the table in the backward) —
+    produce bit-identical gradients: regathered rows are the same rows."""
     from ziragroundingdino_tpu.ops.msda import ms_deform_attn_quad
 
     rng = np.random.default_rng(21)
+    # B*Q*H*K = 1<<20 exactly: rides the chain path; chain ~16.8 MB f32
     value, locs, attn = _rand_inputs(rng, B=2, Q=8192, H=4, D=8, P=8,
                                      shapes=((16, 16), (8, 8)))
 
@@ -256,8 +259,13 @@ def test_residual_modes_grads_identical(monkeypatch):
         return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(value, locs, attn)
 
     monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", "1")
-    ref = grads()
-    monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", "0")
+    ref = grads()  # full saved-rows: 8 chains x 16 MB < the 800 MB cap
+    if mode == "partial":
+        # cap 40 MB -> n_save = 2 of 8 chains; 6 chains regather from the
+        # residual table
+        monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS_MAX_MB", "40")
+    else:
+        monkeypatch.setenv("ZGDINO_MSDA_SAVE_ROWS", "0")
     got = grads()
     for name, a, b in zip(("value", "loc", "attn"), ref, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b),

@@ -277,7 +277,7 @@ def _use_chains(B: int, rows: int, bh_max_b: int) -> bool:
     return B == 1 and rows >= 65536
 
 
-def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
+def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows_n=0):
     """Encoder-scale MSDA at small batch — the b<=2 inference fast path.
 
     Three r3 trace-driven refinements over the per-(b,h) `lax.scan`:
@@ -322,19 +322,21 @@ def _quad_small_batch(value, spatial_shapes, loc, attn, qc=0, save_rows=False):
                     slice_sizes=(1, 4 * D),
                     mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
                 ).reshape(hi - lo, k, 4 * D)
-                if save_rows:
+                if b * H + hh < save_rows_n:
                     rows_saved.append(g)
                 chunks.append(
                     jnp.sum(g * _lane_expand(w4, D), axis=1, dtype=jnp.float32)
                 )
             heads.append(jnp.concatenate(chunks, 0) if n_c > 1 else chunks[0])
     out = _fold_heads(heads, B, Q, H, D, cd)
-    if save_rows:
-        # one [Q, K, 4D] gathered-row block per (b, h) chain, b-major — the
-        # training residual that lets the custom-VJP backward skip both the
-        # quad-table rebuild and the ~25 ms/step regather (see _quad_bwd)
+    if save_rows_n:
+        # one [Q, K, 4D] gathered-row block for the first `save_rows_n`
+        # (b, h) chains, b-major — the training residual that lets the
+        # custom-VJP backward skip the regather for those chains (and the
+        # quad-table rebuild entirely: the forward's table is returned for
+        # the unsaved chains' regather — see _quad_bwd)
         assert n_c == 1
-        return out, tuple(rows_saved)
+        return out, tuple(rows_saved), table_bh
     return out
 
 
@@ -628,29 +630,38 @@ def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_ch
                sampling_locations.shape[4])
     # Saved-rows mode (default on, ZGDINO_MSDA_SAVE_ROWS=0 to disable):
     # keep the forward's gathered-row blocks alive as the residual
-    # (~660 MB bf16 per encoder layer at 800x1216 b=1) so the backward
-    # skips the quad-table rebuild AND the regather — measured ~25 ms off
-    # the 6-layer train step on v5e. Only engages on the unrolled
-    # small-batch encoder path; under q-chunked remat or at larger batches
-    # the memory-lean (value, loc, attn) residual below is kept.
-    rows_mb = (B * H * Q * L * P * 4 * D * value.dtype.itemsize) >> 20
+    # (~83 MB bf16 per encoder chain at 800x1216) so the backward skips the
+    # regather — measured ~25 ms off the 6-layer b=1 train step on v5e
+    # (`t_norows` +13.9 ms, docs/ab_results.jsonl). The per-call byte cap
+    # (ZGDINO_MSDA_SAVE_ROWS_MAX_MB, default 800 — at b=1 the six encoder
+    # layers then hold 6 x 662 MB next to params/activations on 16 GB HBM)
+    # is a CHAIN BUDGET, not all-or-nothing: at b=2, where all 16 chains
+    # (1.3 GB/layer) would OOM (relay crash-tested, r3), the first
+    # floor(cap/chain_mb) chains save their rows and the rest regather in
+    # the backward from the forward's quad table, which rides along in the
+    # residual so the backward never rebuilds it. Only engages on the
+    # unrolled chain path; under q-chunked remat or at larger batches the
+    # memory-lean (value, loc, attn) residual below is kept.
+    chain_mb = max(1, (Q * L * P * 4 * D * value.dtype.itemsize) >> 20)
+    cap_mb = int(os.environ.get("ZGDINO_MSDA_SAVE_ROWS_MAX_MB", "800"))
+    n_save = min(B * H, cap_mb // chain_mb)
     if (os.environ.get("ZGDINO_MSDA_SAVE_ROWS", "1") == "1"
             and not (q_chunk and q_chunk < Q) and B * H <= 16
             and _use_chains(B, B * Q * H * L * P,
                             int(os.environ.get("ZGDINO_MSDA_BH_MAX_B", "2")))
-            # per-call residual byte cap: at 800x1216 b=1 the six encoder
-            # layers hold 6 x 662 MB which fits 16 GB HBM next to params
-            # and activations; b=2 would double it and OOM (the relay
-            # worker crash-tested this, r3) — larger batches fall back to
-            # the memory-lean regather residual below
-            and rows_mb <= int(os.environ.get("ZGDINO_MSDA_SAVE_ROWS_MAX_MB",
-                                              "800"))):
-        out, rows = _quad_small_batch(
+            and n_save > 0):
+        out, rows, table_bh = _quad_small_batch(
             value, spatial_shapes, sampling_locations, attention_weights,
-            save_rows=True,
+            save_rows_n=n_save,
         )
-        return out, {"rows": rows, "loc": sampling_locations,
-                     "attn": attention_weights}
+        res = {"rows": rows, "loc": sampling_locations,
+               "attn": attention_weights}
+        if n_save < B * H:
+            # unsaved chains regather from the forward's table; when every
+            # chain saved its rows the table is dropped from the residual
+            # (XLA frees it after the forward)
+            res["table_bh"] = table_bh
+        return out, res
     out = ms_deform_attn_xla_quad(
         value, spatial_shapes, sampling_locations, attention_weights, q_chunk
     )
@@ -660,10 +671,14 @@ def _quad_fwd(value, spatial_shapes, sampling_locations, attention_weights, q_ch
 def _quad_bwd(spatial_shapes, q_chunk, res, g):
     del q_chunk  # the (b, h) scan below bounds memory on its own
     saved_rows = None
+    saved_table_bh = None
     if isinstance(res, dict):
         # saved-rows residual (see _quad_fwd): the forward's gathered-row
-        # blocks are alive, so no table rebuild and no regather here
+        # blocks are alive for the first len(rows) chains (no regather), and
+        # the forward's quad table rides along for any unsaved chains (no
+        # rebuild either way)
         saved_rows, loc, attn = res["rows"], res["loc"], res["attn"]
+        saved_table_bh = res.get("table_bh")
         B, Q, H, L, P, _ = loc.shape
         D = saved_rows[0].shape[-1] // 4
         S = sum(int(h_) * int(w_) for h_, w_ in spatial_shapes)
@@ -756,7 +771,14 @@ def _quad_bwd(spatial_shapes, q_chunk, res, g):
         ).reshape(Q, k, 4 * D)
 
     if saved_rows is not None:
-        parts = [per_bh(saved_rows[i], *chain_ops(i)) for i in range(B * H)]
+        # chains beyond len(saved_rows) (byte-cap overflow at b=2, see
+        # _quad_fwd) regather their rows from the forward's saved table
+        def rows_for(i):
+            if i < len(saved_rows):
+                return saved_rows[i]
+            return regather(saved_table_bh[i], idx_bh[i])
+
+        parts = [per_bh(rows_for(i), *chain_ops(i)) for i in range(B * H)]
         d_table = jnp.stack([p[0] for p in parts])
         d_w4 = jnp.stack([p[1] for p in parts])
     elif B * H <= 16:
