@@ -23,3 +23,18 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
+
+# Persistent XLA compilation cache: the default suite is compile-dominated
+# (full train-step compiles at tiny scale take 1-2 min each on one CPU
+# core), and most suite invocations recompile byte-identical programs. A
+# warm cache cuts the default tier from ~44 min to well under 30; a cold
+# first run is unchanged. Keyed by platform+flags+HLO, so CPU test entries
+# never collide with the TPU bench cache (separate dir anyway).
+from ziragroundingdino_tpu.utils.profiling import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache(os.environ.get(
+    "ZGDINO_TEST_CACHE_DIR", "/tmp/zgdino_jax_test_cache"))
+try:
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass

@@ -204,12 +204,14 @@ def test_uint8_device_normalize_matches_host(coco_dir):
     text = {k: jnp.asarray(b_f32[k]) for k in (
         "input_ids", "text_token_mask", "position_ids",
         "text_self_attention_masks")}
-    params = model.init(jax.random.PRNGKey(0), jnp.asarray(b_f32["pixels"]),
-                        jnp.asarray(b_f32["mask"]), text)
-    out_f = model.apply(params, jnp.asarray(b_f32["pixels"]),
-                        jnp.asarray(b_f32["mask"]), text)
-    out_u = model.apply(params, jnp.asarray(b_u8["pixels"]),
-                        jnp.asarray(b_u8["mask"]), text)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 jnp.asarray(b_f32["pixels"]),
+                                 jnp.asarray(b_f32["mask"]), text)
+    jfwd = jax.jit(model.apply)
+    out_f = jfwd(params, jnp.asarray(b_f32["pixels"]),
+                 jnp.asarray(b_f32["mask"]), text)
+    out_u = jfwd(params, jnp.asarray(b_u8["pixels"]),
+                 jnp.asarray(b_u8["mask"]), text)
     np.testing.assert_allclose(
         np.asarray(out_f["pred_boxes"]), np.asarray(out_u["pred_boxes"]),
         atol=1e-5, rtol=1e-4)

@@ -111,7 +111,7 @@ def test_mini_odinw_sequence(tmp_path):
     loader0 = DataLoader(datasets["taskA"], tok, dcfg, batch_size=2, train=False,
                          max_text_len=32, max_categories=8)
     b0 = next(iter(loader0))
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(b0["pixels"]), jnp.asarray(b0["mask"]),
         {k: jnp.asarray(b0[k]) for k in (
             "input_ids", "text_token_mask", "position_ids",

@@ -70,7 +70,7 @@ def _our_text(wp_tok, caption, max_text_len=32):
 
 
 def _convert_into(model, ref, jp, jm, text, with_stats=False):
-    variables = model.init(jax.random.PRNGKey(0), jp, jm, text)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jp, jm, text)
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     tree, stats, _, unmatched = convert_state_dict(
         {k: v.numpy() for k, v in ref.state_dict().items()})

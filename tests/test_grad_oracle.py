@@ -126,7 +126,7 @@ def test_zira_full_model_grad_oracle(wp):  # noqa: F811
     jp = jnp.asarray(((raw.transpose(1, 2, 0) - pm) / ps)[None])
     jm = jnp.ones((1, h, w), bool)
 
-    variables = model.init(jax.random.PRNGKey(0), jp, jm, text)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), jp, jm, text)
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     tree, _, _, unmatched = convert_state_dict(
         {k: v.numpy() for k, v in ref.state_dict().items()}
@@ -170,7 +170,8 @@ def test_zira_full_model_grad_oracle(wp):  # noqa: F811
         total, losses = compute_losses(model, {"params": p}, batch, train=True)
         return total, losses
 
-    (j_total, j_losses), j_grads = jax.value_and_grad(loss_fn, has_aux=True)(
+    (j_total, j_losses), j_grads = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True))(
         jax.tree_util.tree_map(jnp.asarray, params)
     )
 

@@ -29,7 +29,7 @@ def setup():
     cfg = tiny_config(max_text_len=32)
     model = GroundingDINO(cfg=cfg)
     batch = make_batch()
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch["pixels"], batch["mask"],
         {k: batch[k] for k in (
             "input_ids", "text_token_mask", "position_ids",
@@ -64,7 +64,7 @@ def test_prompt_memory_and_replay(setup):
             "loss_prompt_memory"
         ]
 
-    g = jax.grad(loss_fn)(params)
+    g = jax.jit(jax.grad(loss_fn))(params)
     gn = sum(float(jnp.sum(x * x)) for x in jax.tree_util.tree_leaves(
         {k: v for k, v in g.items() if "rep_linear_adapter" in k}))
     assert np.isfinite(gn)

@@ -127,8 +127,8 @@ def _setup(mode, **cfg_overrides):
                            max_categories=8, text_len_buckets=(32,))
     images, gts = synth_images()
     batch = make_batch(images, gts, tb)
-    params = model.init(jax.random.PRNGKey(0), batch["pixels"], batch["mask"],
-                        _text(batch))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["pixels"],
+                                 batch["mask"], _text(batch))
     return model, batch, gts, params
 
 

@@ -106,7 +106,7 @@ def test_learned_position_embedding():
     pixels, mask = tiny_image_batch(b=1)
     tb = tiny_text_batch(captions=("cat.dog.",))
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    v = model.init(jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text)
     assert "pos_row_embed" in v["params"] and v["params"]["pos_row_embed"].shape == (50, 32)
     out = model.apply(v, jnp.asarray(pixels), jnp.asarray(mask), text)
     assert np.isfinite(np.asarray(out["pred_boxes"])).all()

@@ -21,7 +21,7 @@ def setup():
     pixels, mask = tiny_image_batch()
     tb = tiny_text_batch()
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
     )
     return cfg, model, params, pixels, mask, text, tb
@@ -122,7 +122,7 @@ def test_resnet_backbone_full_assembly():
     pixels, mask = tiny_image_batch(b=1)
     tb = tiny_text_batch(captions=("cat.dog.",))
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
     )
     out = model.apply(params, jnp.asarray(pixels), jnp.asarray(mask), text)

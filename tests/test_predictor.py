@@ -27,7 +27,7 @@ def test_predictor_buckets_and_results():
     tb = tokenize_captions(tok, ["cat."], max_text_len=32, max_categories=2,
                            text_len_buckets=(16, 32))
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 96, 3), jnp.float32), jnp.ones((1, 64, 96), bool), text)
 

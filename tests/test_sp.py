@@ -43,7 +43,7 @@ def setup():
     cfg = tiny_config(modelname="dualzerorepbranchgroundingdino", cet_middle_dim=16)
     model = GroundingDINO(cfg=cfg)
     batch = make_batch(b=4)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch["pixels"], batch["mask"],
         {k: batch[k] for k in (
             "input_ids", "text_token_mask", "position_ids",

@@ -50,7 +50,7 @@ def params():
     import jax.numpy as jnp
 
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    v = model.init(jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text)
+    v = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text)
     return jax.tree_util.tree_map(np.asarray, v["params"])
 
 

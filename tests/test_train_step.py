@@ -58,7 +58,10 @@ def setup():
     cfg = tiny_config()
     model = GroundingDINO(cfg=cfg)
     batch = make_batch()
-    params = model.init(
+    # jitted init: one cacheable XLA program instead of thousands of eager
+    # dispatches (the persistent compilation cache makes warm suite runs
+    # skip it entirely — tests/conftest.py)
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(0), batch["pixels"], batch["mask"],
         {k: batch[k] for k in (
             "input_ids", "text_token_mask", "position_ids",
@@ -69,14 +72,16 @@ def setup():
 
 def test_losses_and_grads(setup):
     cfg, model, params, batch = setup
-    total, losses = compute_losses(model, params, batch, train=True)
+    total, losses = jax.jit(
+        lambda p, b: compute_losses(model, p, b, train=True))(params, batch)
     assert np.isfinite(float(total))
     for k in ("loss_class", "loss_bbox", "loss_giou", "loss_class_enc",
               "loss_linear_adapter", "loss_conv_adapter"):
         assert k in losses, sorted(losses)
         assert np.isfinite(float(losses[k])), k
 
-    grads = jax.grad(lambda p: compute_losses(model, p, batch, train=True)[0])(params)
+    grads = jax.jit(jax.grad(
+        lambda p: compute_losses(model, p, batch, train=True)[0]))(params)
     gsq = jax.tree_util.tree_map(lambda g: float(jnp.sum(g * g)), grads)
     flat = jax.tree_util.tree_leaves_with_path(gsq)
     adapter_g = [v for p, v in flat if "adapter" in "/".join(str(x) for x in p)]

@@ -23,7 +23,7 @@ def build(modelname, **kw):
     pixels, mask = tiny_image_batch(b=1)
     tb = tiny_text_batch(captions=("cat.dog.",))
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
     )
     return cfg, model, variables, (jnp.asarray(pixels), jnp.asarray(mask), text)
@@ -195,7 +195,7 @@ def test_pet_preset_forward_smoke(preset):
     pixels, mask = tiny_image_batch(b=1)
     tb = tiny_text_batch(captions=("cat.dog.",))
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
     )
     out = model.apply(variables, jnp.asarray(pixels), jnp.asarray(mask), text,
@@ -266,7 +266,7 @@ def test_cat_preset_multi_expert_prompt():
     pixels, mask = tiny_image_batch(b=2)
     tb = tiny_text_batch()
     text = {k: jnp.asarray(v) for k, v in tb.asdict().items()}
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.asarray(pixels), jnp.asarray(mask), text
     )
     # 4 experts actually materialized
