@@ -321,7 +321,9 @@ def test_train_odinw13_full_suite(artifacts, tmp_path):
     for t in ODINW13:
         assert f"AP/{t}" in report, (t, sorted(report))
         assert np.isfinite(report[f"AP/{t}"]), t
-    assert "avg_AP" in report and "coco_AP" in report
+    assert "avg_AP" in report and "coco_zero_shot_AP" in report
+    assert np.isfinite(report["avg_AP"])
+    assert np.isfinite(report["coco_zero_shot_AP"])
     # 13 per-task APs + coco retention = the reference's 14-entry final log
     ap_keys = [k for k in report if k.startswith("AP/")]
     assert len(ap_keys) == 13, ap_keys
